@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.corpus.CorpusWriter
+import graft.pipeline.ExtractPipeline
+import graft.table.SnapshotTable
+
+/** spark-submit entry point (north_rule: "run via spark-submit"): the batch
+  * extraction job over a pages table. Usage:
+  *
+  *   graft.Main extract <pagesParquet> <outputRoot> [partitions]
+  *   graft.Main gen <rows> <pagesParquet>            # synthesize a corpus
+  *   graft.Main sweep <outputRoot>                   # orphan GC
+  *
+  * Exit is non-zero on bad usage; extraction itself never fails on bad rows
+  * (error-as-value). Local default master is for the sandbox; under real
+  * spark-submit the cluster master wins.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) { usage(); sys.exit(2) }
+    val builder = SparkSession.builder()
+      .appName("graft-extract")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+    // under spark-submit the submitted master wins; standalone runs (sandbox,
+    // sbt runMain) fall back to all local cores
+    if (!sys.props.contains("spark.master") && !sys.env.contains("MASTER")) {
+      val cores = Runtime.getRuntime.availableProcessors()
+      builder.master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+    }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      args(0) match {
+        case "gen" =>
+          val rows = args(1).toLong
+          val path = args(2)
+          CorpusWriter.writePages(spark, rows, path)
+          println(s"[graft] wrote $rows pages -> $path")
+        case "extract" =>
+          val pagesPath = args(1)
+          val outputRoot = args(2)
+          val partitions =
+            if (args.length > 3) args(3).toInt
+            else spark.sparkContext.defaultParallelism
+          val pages = spark.read.parquet(pagesPath)
+          val id = ExtractPipeline.runAndCommit(spark, pages, outputRoot,
+            ExtractPipeline.Config(partitions = partitions))
+          if (id < 0) println("[graft] nothing to do: all urls already committed")
+          else {
+            println(s"[graft] committed snapshot $id -> $outputRoot")
+            spark.read.parquet(s"$outputRoot/_counters/snap-$id")
+              .orderBy("status").collect()
+              .foreach(r => println(s"[counters] ${r.getString(0)}: docs=${r.getLong(1)} bytes=${r.get(2)}"))
+          }
+        case "sweep" =>
+          val removed = new SnapshotTable(args(1)).sweepOrphans()
+          println(s"[graft] swept ${removed.length} orphan dirs: ${removed.mkString(", ")}")
+        case other =>
+          System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
+      }
+    } finally spark.stop()
+  }
+
+  private def usage(): Unit =
+    System.err.println(
+      """usage: graft.Main gen <rows> <pagesParquet>
+        |       graft.Main extract <pagesParquet> <outputRoot> [partitions]
+        |       graft.Main sweep <outputRoot>""".stripMargin)
+}

@@ -1,0 +1,25 @@
+package graft.corpus
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Spark-side corpus materialization: pages are a pure function of the row
+  * index, so generation distributes trivially and the table content is
+  * independent of `partitions`. */
+object CorpusWriter {
+
+  def pagesDs(spark: SparkSession, n: Long, partitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map(i => PagesGen.page(i)).toDF()
+  }
+
+  def writePages(spark: SparkSession, n: Long, path: String, partitions: Int = 32): Unit =
+    pagesDs(spark, n, partitions).write.mode("overwrite").parquet(path)
+
+  /** Idempotent local materialization for tests/queries: generate once,
+    * reuse across SparkEntry query invocations. */
+  def ensurePages(spark: SparkSession, n: Long, path: String): String = {
+    val done = new java.io.File(path + "/_SUCCESS")
+    if (!done.exists()) writePages(spark, n, path)
+    path
+  }
+}

@@ -1,0 +1,282 @@
+package graft.corpus
+
+import java.nio.charset.StandardCharsets
+import java.sql.Timestamp
+
+import graft.core.Page
+
+/** SplitMix64 — splittable, per-row-index seeded RNG so generated content is
+  * a pure function of (seed, rowIndex) and therefore independent of Spark
+  * partitioning (SURVEY.md §7 M0 determinism requirement). */
+final class Rng(seed: Long) {
+  private var state: Long = seed
+  def nextLong(): Long = {
+    state += 0x9e3779b97f4a7c15L
+    var z = state
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  def nextInt(bound: Int): Int = {
+    require(bound > 0)
+    ((nextLong() >>> 33) % bound).toInt
+  }
+  def nextBool(p: Double): Boolean = ((nextLong() >>> 11) * 1.1102230246251565e-16) < p
+}
+
+object Rng {
+  def forRow(seed: Long, idx: Long): Rng =
+    new Rng(seed * 0x100000001b3L ^ (idx + 1) * 0xc2b2ae3d27d4eb4fL)
+}
+
+/** Deterministic synthetic Common-Crawl-style pages corpus
+  * (BASELINE.json input_hint shape; categories mirror the reference's
+  * fixture expectation tables, tests/test_dependencies.py — see FIXTURES.md
+  * §3). Pure function of (seed, index): safe to generate inside Spark tasks.
+  */
+object PagesGen {
+
+  val Seed = 42L
+
+  // fixed multilingual word pools (fi / sv / en flavor for `lang` variety)
+  private val WordsEn = Array(
+    "the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog", "data",
+    "pipeline", "document", "content", "extraction", "analysis", "system",
+    "report", "value", "public", "service", "record", "archive", "crawl",
+    "measure", "quality", "number", "window", "stream", "batch", "cluster",
+    "partition", "schema", "column", "table", "engine", "result", "model")
+  private val WordsFi = Array(
+    "asiakirja", "palvelu", "tieto", "järjestelmä", "sisältö", "raportti",
+    "arvo", "julkinen", "arkisto", "laatu", "määrä", "ikkuna", "virta",
+    "erä", "osio", "taulukko", "moottori", "tulos", "malli", "sivu",
+    "verkko", "haku", "kieli", "teksti", "oikeus", "ministeriö", "laki")
+  private val WordsSv = Array(
+    "dokument", "tjänst", "innehåll", "rapport", "värde", "offentlig",
+    "arkiv", "kvalitet", "antal", "fönster", "ström", "parti", "tabell",
+    "motor", "resultat", "modell", "sida", "nät", "sök", "språk", "text",
+    "rätt", "departement", "lag", "myndighet")
+
+  private def pool(lang: String): Array[String] = lang match {
+    case "fi" => WordsFi
+    case "sv" => WordsSv
+    case _ => WordsEn
+  }
+
+  def sentence(r: Rng, lang: String): String = {
+    val w = pool(lang)
+    val n = 4 + r.nextInt(9)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < n) {
+      val word = w(r.nextInt(w.length))
+      if (i == 0) {
+        sb.append(Character.toUpperCase(word.charAt(0)))
+        sb.append(word, 1, word.length)
+      } else {
+        sb.append(' ').append(word)
+      }
+      i += 1
+    }
+    sb.append('.')
+    sb.toString
+  }
+
+  def paragraph(r: Rng, lang: String, sentences: Int): String =
+    (0 until sentences).map(_ => sentence(r, lang)).mkString(" ")
+
+  private val Langs = Array("en", "fi", "sv", "en", "fi") // weighted
+
+  /** Category by row index — fixed proportions (FIXTURES.md §3). */
+  def category(idx: Long): String = (idx % 100) match {
+    case m if m < 40 => "html-clean"
+    case m if m < 55 => "html-messy"
+    case m if m < 65 => "html-linkfarm"
+    case m if m < 75 => "pdf-simple"
+    case m if m < 78 => "pdf-attachments"
+    case m if m < 80 => "pdf-already-done"
+    case m if m < 82 => "pdf-encrypted"
+    case m if m < 84 => "pdf-bad-coords"
+    case m if m < 86 => "media-junk"
+    case m if m < 88 => "random-junk"
+    case m if m < 90 => "truncated"
+    case 90 => "empty"
+    case 91 => "giant"
+    case 92 | 93 => "dup-url" // 92 = first crawl, 93 = re-crawl of 92's url
+    case _ => "html-clean"
+  }
+
+  /** Expected extraction status per category (expectation-table-as-code,
+    * the test_dependencies.py analog). */
+  def expectedStatus(cat: String): String = cat match {
+    case "pdf-already-done" => "non-convertable"
+    case "pdf-encrypted" => "password-protected"
+    case "pdf-bad-coords" => "failed"
+    case "media-junk" => "non-convertable"
+    case "random-junk" => "corrupted"
+    case "truncated" => "corrupted"
+    case "empty" => "corrupted"
+    case _ => "finished"
+  }
+
+  def url(idx: Long): String = {
+    val cat = category(idx)
+    // dup pair shares one url, keyed to the first crawl's index
+    val key = if (cat == "dup-url" && idx % 100 == 93) idx - 1 else idx
+    s"https://example-${key % 7}.test/$cat/doc-$key"
+  }
+
+  def warcTs(idx: Long): Timestamp = {
+    val base = 1735689600000L // 2025-01-01T00:00:00Z
+    val bump = if (category(idx) == "dup-url" && idx % 100 == 93) 7200000L else 0L
+    new Timestamp(base + idx * 1000L + bump)
+  }
+
+  /** Generate row `idx` of the corpus. Pure; never throws. */
+  def page(idx: Long): Page = {
+    val r = Rng.forRow(Seed, idx)
+    val lang = Langs(r.nextInt(Langs.length))
+    val cat = category(idx)
+    val html: Array[Byte] = cat match {
+      case "html-clean" => htmlClean(r, lang, 3 + r.nextInt(6))
+      case "html-messy" => htmlMessy(r, lang)
+      case "html-linkfarm" => htmlLinkfarm(r, lang)
+      case "pdf-simple" =>
+        PdfGen.build(PdfGen.PdfSpec(pdfPages(r, lang, 1 + r.nextInt(3))))
+      case "pdf-attachments" =>
+        PdfGen.build(PdfGen.PdfSpec(
+          pdfPages(r, lang, 1 + r.nextInt(2)),
+          attachments = Seq(
+            s"att-${r.nextInt(100)}.txt" -> sentence(r, lang).getBytes(StandardCharsets.UTF_8))))
+      case "pdf-already-done" =>
+        PdfGen.build(PdfGen.PdfSpec(pdfPages(r, lang, 1), pdfaMarker = true))
+      case "pdf-encrypted" =>
+        PdfGen.build(PdfGen.PdfSpec(pdfPages(r, lang, 1), encrypted = true))
+      case "pdf-bad-coords" =>
+        PdfGen.build(PdfGen.PdfSpec(pdfPages(r, lang, 1), badCoords = true))
+      case "media-junk" => mediaJunk(r)
+      case "random-junk" => randomJunk(r)
+      case "truncated" =>
+        // valid PDF prefix cut before any content stream completes
+        val full = PdfGen.build(PdfGen.PdfSpec(pdfPages(r, lang, 2)))
+        java.util.Arrays.copyOf(full, math.min(full.length, 120 + r.nextInt(60)))
+      case "empty" => Array.emptyByteArray
+      case "giant" => htmlClean(r, lang, 600) // skew stressor (~0.4 MB)
+      case "dup-url" =>
+        // re-crawl (…93) gets an extra paragraph: dedup must pick it
+        val paras = 4 + (if (idx % 100 == 93) 2 else 0)
+        htmlClean(Rng.forRow(Seed, idx), lang, paras)
+      case _ => htmlClean(r, lang, 4)
+    }
+    val crawlText = // the crawler's own (unused) text guess
+      if (cat.startsWith("html")) paragraph(Rng.forRow(Seed + 1, idx), lang, 2)
+      else null
+    Page(url(idx), warcTs(idx), html, crawlText, lang)
+  }
+
+  // ------------------------------------------------------------ builders
+
+  private def navBlock(r: Rng, lang: String): String = {
+    val w = pool(lang)
+    val items = (0 until 5 + r.nextInt(4)).map { _ =>
+      s"""<li><a href="/${w(r.nextInt(w.length))}">${w(r.nextInt(w.length))}</a></li>"""
+    }.mkString
+    s"""<nav class="main-nav"><ul>$items</ul></nav>"""
+  }
+
+  private def footerBlock(r: Rng, lang: String): String = {
+    val w = pool(lang)
+    val links = (0 until 4).map(_ =>
+      s"""<a href="/${w(r.nextInt(w.length))}">${w(r.nextInt(w.length))}</a>""").mkString(" | ")
+    s"""<footer><p>© 2025 Example ${w(r.nextInt(w.length))}</p><p>$links</p></footer>"""
+  }
+
+  private def sidebarBlock(r: Rng, lang: String): String = {
+    val w = pool(lang)
+    val items = (0 until 6).map(_ =>
+      s"""<li><a href="/${w(r.nextInt(w.length))}">${sentence(r, lang).take(20)}</a></li>""").mkString
+    s"""<aside class="sidebar"><h3>${w(r.nextInt(w.length))}</h3><ul>$items</ul></aside>"""
+  }
+
+  def htmlClean(r: Rng, lang: String, paras: Int): Array[Byte] = {
+    val title = sentence(r, lang)
+    val heading = sentence(r, lang)
+    val body = (0 until paras)
+      .map(_ => s"<p>${paragraph(r, lang, 2 + r.nextInt(4))}</p>").mkString("\n")
+    val html =
+      s"""<!DOCTYPE html>
+         |<html lang="$lang"><head><meta charset="utf-8"><title>$title</title></head>
+         |<body>
+         |<header class="site-header"><h1>Example Site</h1>${navBlock(r, lang)}</header>
+         |<div class="content"><article>
+         |<h1>$heading</h1>
+         |$body
+         |</article></div>
+         |${sidebarBlock(r, lang)}
+         |${footerBlock(r, lang)}
+         |</body></html>""".stripMargin
+    html.getBytes(StandardCharsets.UTF_8)
+  }
+
+  def htmlMessy(r: Rng, lang: String): Array[Byte] = {
+    // unclosed tags, stray end tags, bad entities, unquoted attrs,
+    // windows-1252 declared charset with 8-bit punctuation bytes
+    val p1 = paragraph(r, lang, 3)
+    val p2 = paragraph(r, lang, 4)
+    val p3 = paragraph(r, lang, 2)
+    val html =
+      s"""<html><head><meta charset=windows-1252><title>${sentence(r, lang)}</head>
+         |<body>
+         |<div class=wrap>
+         |<h2>${sentence(r, lang)}
+         |<p>$p1 &nosuch; &amp; <b>bold $p2
+         |<p>$p3 quoted &#8212; end</div>
+         |</span></em>
+         |${footerBlock(r, lang)}
+         |<p>${paragraph(r, lang, 3)}""".stripMargin
+    // encode as windows-1252 so the declared charset is honest
+    html.getBytes(java.nio.charset.Charset.forName("windows-1252"))
+  }
+
+  def htmlLinkfarm(r: Rng, lang: String): Array[Byte] = {
+    val w = pool(lang)
+    val farms = (0 until 8).map { _ =>
+      val links = (0 until 10 + r.nextInt(10)).map(_ =>
+        s"""<a href="/${w(r.nextInt(w.length))}-${r.nextInt(1000)}">${w(r.nextInt(w.length))} ${w(r.nextInt(w.length))}</a>""").mkString(" ")
+      s"<div>$links</div>"
+    }.mkString("\n")
+    val main = s"<p>${paragraph(r, lang, 5)}</p><p>${paragraph(r, lang, 4)}</p>"
+    val html =
+      s"""<!DOCTYPE html><html><head><title>${sentence(r, lang)}</title></head>
+         |<body>$farms<article>$main</article>$farms</body></html>""".stripMargin
+    html.getBytes(StandardCharsets.UTF_8)
+  }
+
+  def pdfPages(r: Rng, lang: String, n: Int): Seq[Seq[String]] =
+    (0 until n).map { _ =>
+      (0 until 5 + r.nextInt(12)).map(_ => sentence(r, lang))
+    }
+
+  private def mediaJunk(r: Rng): Array[Byte] = {
+    val sig: Array[Byte] = r.nextInt(3) match {
+      case 0 => Array[Byte](0, 0, 0, 0x20, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm') // mp4
+      case 1 => "fLaC".getBytes(StandardCharsets.US_ASCII) // flac
+      case _ => Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) // png
+    }
+    val tail = new Array[Byte](256 + r.nextInt(256))
+    var i = 0
+    while (i < tail.length) { tail(i) = (r.nextLong() & 0xff).toByte; i += 1 }
+    sig ++ tail
+  }
+
+  private def randomJunk(r: Rng): Array[Byte] = {
+    val b = new Array[Byte](128 + r.nextInt(512))
+    var i = 0
+    while (i < b.length) {
+      b(i) = (r.nextLong() & 0xff).toByte
+      i += 1
+    }
+    // ensure no accidental magic prefix: force a NUL first byte
+    if (b.length > 0) b(0) = 0
+    b
+  }
+}

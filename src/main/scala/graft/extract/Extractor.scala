@@ -1,0 +1,158 @@
+package graft.extract
+
+import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+
+import graft.core.{Extracted, Heuristics, Span, Status}
+
+/** Per-document extraction dispatcher: sniff -> route -> extract -> validate
+  * -> bounded fallback -> error-as-value result. The Spark analog of the
+  * reference's task body `process_convertion` (docsbox/docs/tasks.py:80-103):
+  * routing by detected type family, a bounded escalation chain (OCR-loop
+  * analog, tasks.py:130-138), and a result record that never raises
+  * (tasks.py:102-103).
+  *
+  * Fully deterministic: same bytes -> same Extracted, independent of
+  * partitioning, parallelism, JVM, locale. UTF-8 output only.
+  */
+object Extractor {
+
+  private val Empty = Array.emptyByteArray
+
+  def extract(url: String, payload: Array[Byte]): Extracted = {
+    try {
+      extractUnsafe(url, payload)
+    } catch {
+      case e: Throwable => // never-throw contract (FileInfoException analog)
+        Extracted(url, Status.Failed, Sniffer.MimeUnknown, Empty, Nil, 0L,
+          s"internal: ${e.getClass.getSimpleName}", Heuristics.Version)
+    }
+  }
+
+  private def extractUnsafe(url: String, payload: Array[Byte]): Extracted = {
+    val mime = Sniffer.sniff(payload)
+    mime match {
+      case Sniffer.MimeHtml => extractHtml(url, payload)
+      case Sniffer.MimePdf => extractPdf(url, payload)
+      case Sniffer.MimeText => extractPlainText(url, payload)
+      case Sniffer.MimeUnknown =>
+        val msg = if (payload == null || payload.isEmpty) "empty payload"
+        else "unable to detect file type"
+        Extracted(url, Status.Corrupted, Sniffer.MimeUnknown, Empty, Nil, 0L,
+          msg, Heuristics.Version)
+      case other => // recognized but unsupported media (test15.mp4 analog,
+        // tests/test_dependencies.py filesNotConvertable)
+        Extracted(url, Status.NonConvertable, other, Empty, Nil, 0L,
+          s"mimetype not supported for extraction: $other", Heuristics.Version)
+    }
+  }
+
+  // ---------------------------------------------------------------- HTML
+
+  private def extractHtml(url: String, payload: Array[Byte]): Extracted = {
+    val s = decode(payload)
+    val dom = HtmlParser.parse(s)
+    // primary heuristic, then one relaxed retry — the strictly-bounded
+    // escalation chain (OCR loop analog, tasks.py:130-138)
+    var res = Boilerplate.extract(dom, relaxed = false)
+    if (res.contentBlocks == 0 && res.totalWords > 10)
+      res = Boilerplate.extract(dom, relaxed = true)
+    if (res.contentBlocks == 0 && res.totalWords > 50) {
+      // conversion produced nothing from a non-trivial page: the analog of
+      // "It was not possible to convert the file" (tasks.py:137-138)
+      return Extracted(url, Status.Failed, Sniffer.MimeHtml, Empty, Nil, 0L,
+        "no main content detected", Heuristics.Version)
+    }
+    finish(url, Sniffer.MimeHtml, res.text, res.spans)
+  }
+
+  /** Decode payload bytes to chars: meta-charset sniff (HEIC->PNG
+    * normalization analog, utils.py:410-414), UTF-8 default, malformed
+    * input replaced — never throws. */
+  def decode(payload: Array[Byte]): String = {
+    val cs = sniffCharset(payload)
+    val dec = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    val s = dec.decode(java.nio.ByteBuffer.wrap(payload)).toString
+    // strip BOM + normalize newlines (alpha-flatten analog, utils.py:302-309)
+    val noBom = if (s.nonEmpty && s.charAt(0) == '﻿') s.substring(1) else s
+    noBom.replace("\r\n", "\n").replace('\r', '\n')
+  }
+
+  private def sniffCharset(payload: Array[Byte]): Charset = {
+    val m = math.min(payload.length, 1024)
+    val head = new String(payload, 0, m, StandardCharsets.ISO_8859_1).toLowerCase
+    val i = head.indexOf("charset=")
+    if (i >= 0) {
+      var j = i + 8
+      if (j < head.length && (head.charAt(j) == '"' || head.charAt(j) == '\'')) j += 1
+      val st = j
+      while (j < head.length && {
+        val c = head.charAt(j)
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '-' || c == '_'
+      }) j += 1
+      head.substring(st, j) match {
+        case "iso-8859-1" | "latin1" => StandardCharsets.ISO_8859_1
+        case "windows-1252" | "cp1252" =>
+          try Charset.forName("windows-1252")
+          catch { case _: Throwable => StandardCharsets.ISO_8859_1 }
+        case "us-ascii" | "ascii" => StandardCharsets.US_ASCII
+        case _ => StandardCharsets.UTF_8
+      }
+    } else StandardCharsets.UTF_8
+  }
+
+  // ----------------------------------------------------------------- PDF
+
+  private def extractPdf(url: String, payload: Array[Byte]): Extracted = {
+    PdfParser.parse(payload) match {
+      case PdfParser.PdfText(text, spans, attachments, _) =>
+        val textBytes = Boilerplate.utf8Len(text)
+        // attachment spans carry the name in `kind` (filespec walk analog,
+        // utils.py:440-461); zero-length at end-of-text
+        val attSpans = attachments.map(n => Span(s"attachment:$n", textBytes, textBytes))
+        finish(url, Sniffer.MimePdf, text, spans ++ attSpans)
+      case PdfParser.PdfEncrypted() =>
+        Extracted(url, Status.PasswordProtected, Sniffer.MimePdf, Empty, Nil,
+          0L, "password-protected", Heuristics.Version)
+      case PdfParser.PdfAlreadyPdfa() =>
+        Extracted(url, Status.NonConvertable, Sniffer.MimePdf, Empty, Nil, 0L,
+          "already PDF/A", Heuristics.Version)
+      case PdfParser.PdfFailure(msg) =>
+        val st =
+          if (msg == "truncated payload" || msg == "no content streams")
+            Status.Corrupted
+          else Status.Failed
+        Extracted(url, st, Sniffer.MimePdf, Empty, Nil, 0L, msg,
+          Heuristics.Version)
+    }
+  }
+
+  // ---------------------------------------------------------------- text
+
+  private def extractPlainText(url: String, payload: Array[Byte]): Extracted = {
+    val text = decode(payload).trim
+    val spans =
+      if (text.isEmpty) Vector.empty[Span]
+      else Vector(Span("text", 0L, Boilerplate.utf8Len(text)))
+    finish(url, Sniffer.MimeText, text, spans)
+  }
+
+  private def finish(url: String, mime: String, text: String, spans: Seq[Span]): Extracted = {
+    val bytes = text.getBytes(StandardCharsets.UTF_8)
+    // post-extract invariants (conversion sanity check analog,
+    // utils.py:394-407): span offsets within bounds and non-decreasing
+    var ok = true
+    var last = 0L
+    spans.foreach { sp =>
+      if (sp.start < 0 || sp.end < sp.start || sp.end > bytes.length || sp.start < last) ok = false
+      last = sp.start
+    }
+    if (!ok)
+      Extracted(url, Status.Failed, mime, Empty, Nil, 0L,
+        "span validation failed", Heuristics.Version)
+    else
+      Extracted(url, Status.Finished, mime, bytes, spans, bytes.length.toLong,
+        null, Heuristics.Version)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Iceberg-style snapshot layer over Parquet (no Iceberg runtime offline —
+  * SURVEY.md §0): append-only snapshots, manifest JSON per snapshot, an
+  * atomically-replaced CURRENT pointer, idempotent resume, and orphan GC.
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/snap-<id>/part-*.parquet     one dir per snapshot's appends
+  *   <root>/manifests/snap-<id>.json          manifest (id, parent, files, meta)
+  *   <root>/CURRENT                           latest committed snapshot id
+  * }}}
+  *
+  * Commit protocol (analog of the reference's Redis result store becoming
+  * queryable only when the RQ job completes, docsbox/docs/tasks.py:16-18):
+  * data files are invisible until the manifest is moved into place and
+  * CURRENT is atomically replaced; a crash mid-write leaves only orphan data
+  * dirs, which `sweepOrphans` collects (TTL cleaner analog,
+  * docsbox/cleaner/__init__.py:10-37).
+  */
+final class SnapshotTable(val root: String) {
+
+  private def dataDir(id: Long): Path = Paths.get(root, "data", s"snap-$id")
+  private def manifestPath(id: Long): Path = Paths.get(root, "manifests", s"snap-$id.json")
+  private def currentPath: Path = Paths.get(root, "CURRENT")
+
+  def currentSnapshotId: Option[Long] =
+    if (Files.exists(currentPath))
+      Some(new String(Files.readAllBytes(currentPath), StandardCharsets.UTF_8).trim.toLong)
+    else None
+
+  case class Manifest(id: Long, parentId: Long, files: Seq[String],
+      rowCount: Long, meta: Map[String, String])
+
+  private def writeManifest(m: Manifest): Unit = {
+    Files.createDirectories(manifestPath(m.id).getParent)
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val metaJson = m.meta.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
+    val json =
+      s"""{"id": ${m.id}, "parentId": ${m.parentId}, "rowCount": ${m.rowCount},
+         | "files": [${m.files.sorted.map(q).mkString(", ")}],
+         | "meta": $metaJson}""".stripMargin
+    val tmp = manifestPath(m.id).resolveSibling(s".tmp-snap-${m.id}.json")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(m.id), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def readManifest(id: Long): Manifest = {
+    val json = new String(Files.readAllBytes(manifestPath(id)), StandardCharsets.UTF_8)
+    def longField(name: String): Long = {
+      val m = ("\"" + name + "\":\\s*(-?\\d+)").r.findFirstMatchIn(json)
+      m.map(_.group(1).toLong).getOrElse(-1L)
+    }
+    val files = "\"files\":\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    Manifest(longField("id"), longField("parentId"), files, longField("rowCount"), Map.empty)
+  }
+
+  /** Chain of snapshot ids from CURRENT back to the first. */
+  def snapshotChain: Seq[Long] = currentSnapshotId match {
+    case None => Nil
+    case Some(cur) =>
+      val ids = Seq.newBuilder[Long]
+      var id = cur
+      while (id >= 0) {
+        ids += id
+        id = readManifest(id).parentId
+      }
+      ids.result()
+  }
+
+  /** Append `df` as a new snapshot; returns the committed snapshot id.
+    * Visible only after the atomic CURRENT replace. */
+  def commit(df: DataFrame, meta: Map[String, String] = Map.empty): Long = {
+    val parent = currentSnapshotId.getOrElse(-1L)
+    val id = parent + 1
+    val dir = dataDir(id)
+    df.write.mode("overwrite").parquet(dir.toString)
+    val files = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+    val rows = df.sparkSession.read.parquet(dir.toString).count()
+    writeManifest(Manifest(id, parent, files, rows, meta))
+    val tmp = Paths.get(root, ".CURRENT.tmp")
+    Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    id
+  }
+
+  /** Read the table as of CURRENT (union of the snapshot chain's data dirs).
+    * Empty (schema-less) if nothing is committed — callers guard. */
+  def read(spark: SparkSession): Option[DataFrame] = {
+    val dirs = snapshotChain.map(dataDir(_).toString)
+      .filter(d => Files.exists(Paths.get(d)))
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** Delete data dirs not referenced by any manifest in the CURRENT chain —
+    * debris of crashed commits (cleaner analog). Returns dirs removed. */
+  def sweepOrphans(): Seq[String] = {
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.exists(dataRoot)) return Nil
+    val live = snapshotChain.map(id => s"snap-$id").toSet
+    val removed = Seq.newBuilder[String]
+    Files.list(dataRoot).iterator().asScala.toSeq.foreach { p =>
+      val name = p.getFileName.toString
+      if (!live.contains(name)) {
+        deleteRecursively(p)
+        removed += name
+      }
+    }
+    removed.result()
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.{PagesGen, PdfGen, Rng}
+import graft.extract.{Extractor, HtmlParser, PdfParser, Sniffer}
+
+/** Scalar extraction-core tests (no Spark): the expectation-table-as-code
+  * analog of the reference's test_dependencies.py, plus the never-throw and
+  * determinism contracts from SURVEY.md §5.2. */
+class ExtractorSpec extends AnyFunSuite {
+
+  test("every corpus category extracts to its expected status") {
+    (0L until 500L).foreach { i =>
+      val p = PagesGen.page(i)
+      val e = Extractor.extract(p.url, p.html)
+      val expected = PagesGen.expectedStatus(PagesGen.category(i))
+      assert(e.status == expected,
+        s"idx=$i cat=${PagesGen.category(i)} msg=${e.message}")
+    }
+  }
+
+  test("extraction is deterministic (same bytes -> same bytes)") {
+    (0L until 120L).foreach { i =>
+      val p = PagesGen.page(i)
+      val a = Extractor.extract(p.url, p.html)
+      val b = Extractor.extract(p.url, p.html)
+      assert(java.util.Arrays.equals(a.text, b.text))
+      assert(a.status == b.status && a.spans == b.spans && a.message == b.message)
+    }
+  }
+
+  test("sniffer detects the corpus mimetypes") {
+    assert(Sniffer.sniff("<!DOCTYPE html><html></html>".getBytes) == "text/html")
+    assert(Sniffer.sniff("%PDF-1.4\nxxx".getBytes) == "application/pdf")
+    assert(Sniffer.sniff(Array.emptyByteArray) == "Unknown/Corrupted")
+    assert(Sniffer.sniff(Array[Byte](0, 1, 2, 3, 4, 5)) == "Unknown/Corrupted")
+    assert(Sniffer.sniff("fLaCjunk".getBytes) == "audio/flac")
+    assert(Sniffer.sniff(Array[Byte](0, 0, 0, 0x20, 'f', 't', 'y', 'p') ++ new Array[Byte](16)) == "video/mp4")
+  }
+
+  test("boilerplate: nav/footer/sidebar text excluded, main content kept") {
+    val html =
+      """<html><body>
+        |<nav><a href="/a">HomeLink</a> <a href="/b">AboutLink</a></nav>
+        |<article>
+        |<h1>The Real Headline Here</h1>
+        |<p>This is the first real paragraph of the main content with enough
+        |words to be classified as content by the number of words rules.</p>
+        |<p>And a second paragraph that also carries a reasonable number of
+        |words so the classifier keeps it in the output as well.</p>
+        |</article>
+        |<footer>CopyrightFooterText <a href="/c">ContactLink</a></footer>
+        |</body></html>""".stripMargin
+    val e = Extractor.extract("u", html.getBytes(StandardCharsets.UTF_8))
+    val text = new String(e.text, StandardCharsets.UTF_8)
+    assert(e.status == "finished")
+    assert(text.contains("first real paragraph"))
+    assert(text.contains("The Real Headline Here"))
+    assert(!text.contains("HomeLink"))
+    assert(!text.contains("CopyrightFooterText"))
+  }
+
+  test("entities decode; unknown entities pass through") {
+    val html = "<html><body><p>A &amp; B &lt;tag&gt; &#65; &#x42; &auml; &bogus; done " +
+      "plus more words to satisfy the content classifier threshold rules here</p></body></html>"
+    val e = Extractor.extract("u", html.getBytes(StandardCharsets.UTF_8))
+    val text = new String(e.text, StandardCharsets.UTF_8)
+    assert(text.contains("A & B <tag> A B ä &bogus; done"))
+  }
+
+  test("pdf roundtrip: writer lines come back in reading order") {
+    val lines = Seq("First line of page one.", "Second line follows.", "Third and last.")
+    val pdf = PdfGen.build(PdfGen.PdfSpec(Seq(lines)))
+    PdfParser.parse(pdf) match {
+      case PdfParser.PdfText(text, spans, _, pageCount) =>
+        assert(text == lines.mkString("\n"))
+        assert(pageCount == 1)
+        assert(spans.length == 3)
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
+  test("pdf multi-page order and flags") {
+    val pdf = PdfGen.build(PdfGen.PdfSpec(Seq(Seq("p1a", "p1b"), Seq("p2a"))))
+    PdfParser.parse(pdf) match {
+      case PdfParser.PdfText(text, _, _, pc) =>
+        assert(text == "p1a\np1b\np2a" && pc == 2)
+      case other => fail(s"unexpected: $other")
+    }
+    assert(PdfParser.parse(PdfGen.build(PdfGen.PdfSpec(Seq(Seq("x")), encrypted = true)))
+      .isInstanceOf[PdfParser.PdfEncrypted])
+    assert(PdfParser.parse(PdfGen.build(PdfGen.PdfSpec(Seq(Seq("x")), pdfaMarker = true)))
+      .isInstanceOf[PdfParser.PdfAlreadyPdfa])
+    PdfParser.parse(PdfGen.build(PdfGen.PdfSpec(Seq(Seq("x")), badCoords = true))) match {
+      case PdfParser.PdfFailure(msg) => assert(msg == "out-of-range coordinates")
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
+  test("pdf attachments surface as attachment spans") {
+    val pdf = PdfGen.build(PdfGen.PdfSpec(Seq(Seq("body text line")),
+      attachments = Seq("note.txt" -> "hello".getBytes)))
+    val e = Extractor.extract("u", pdf)
+    assert(e.status == "finished")
+    assert(e.spans.exists(_.kind == "attachment:note.txt"))
+  }
+
+  test("flate-compressed content streams decode") {
+    // hand-build a PDF whose content stream is deflate-compressed
+    val content = "BT /F1 12 Tf 72 720 Td (compressed hello) Tj ET"
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(content.getBytes(StandardCharsets.ISO_8859_1))
+    deflater.finish()
+    val buf = new Array[Byte](1024)
+    val n = deflater.deflate(buf)
+    val comp = new String(buf, 0, n, StandardCharsets.ISO_8859_1)
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Length " + comp.length +
+      " /Filter /FlateDecode >>\nstream\n" + comp +
+      "\nendstream\nendobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    PdfParser.parse(pdf) match {
+      case PdfParser.PdfText(text, _, _, _) => assert(text == "compressed hello")
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
+  test("never throws: random bytes, random html-ish strings, truncations") {
+    val r = new Rng(987654321L)
+    // arbitrary bytes
+    (0 until 400).foreach { _ =>
+      val b = new Array[Byte](r.nextInt(2048))
+      var i = 0
+      while (i < b.length) { b(i) = (r.nextLong() & 0xff).toByte; i += 1 }
+      val e = Extractor.extract("fuzz", b)
+      assert(e.status != null)
+    }
+    // html-ish soup
+    val frags = Array("<div", ">", "</", "<p>", "&", "&amp", "&#x", "<!--", "-->",
+      "<script>", "</script>", "txt ", "<a href='", "'", "\"", "<![CDATA[", "<<>",
+      "<html>", "=", "<br/>", "&#12345678901;", "<h1", " class=", "<q", "</html")
+    (0 until 400).foreach { _ =>
+      val sb = new java.lang.StringBuilder
+      (0 until r.nextInt(60)).foreach(_ => sb.append(frags(r.nextInt(frags.length))))
+      val root = HtmlParser.parse(sb.toString)
+      assert(root != null)
+    }
+    // truncations of every category
+    (0L until 100L).foreach { i =>
+      val p = PagesGen.page(i)
+      val cut = r.nextInt(math.max(p.html.length, 1))
+      val e = Extractor.extract(p.url, java.util.Arrays.copyOf(p.html, cut))
+      assert(e.status != null)
+    }
+  }
+
+  test("span offsets are in bounds and ordered for all finished rows") {
+    (0L until 300L).foreach { i =>
+      val p = PagesGen.page(i)
+      val e = Extractor.extract(p.url, p.html)
+      if (e.status == "finished") {
+        var last = 0L
+        e.spans.foreach { sp =>
+          assert(sp.start >= last && sp.end >= sp.start && sp.end <= e.textBytes,
+            s"idx=$i span=$sp textBytes=${e.textBytes}")
+          last = sp.start
+        }
+      }
+    }
+  }
+}

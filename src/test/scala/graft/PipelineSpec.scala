@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.corpus.CorpusWriter
+import graft.pipeline.ExtractPipeline
+
+/** Partitioning-invariance + counters/lineage properties (SURVEY.md §5.2.3):
+  * table CONTENT must be independent of partition count and placement —
+  * the sandbox evidence for multi-executor determinism. */
+class PipelineSpec extends AnyFunSuite {
+
+  private def contentFingerprint(partitions: Int, genParts: Int): Map[String, (String, Long, String)] = {
+    val spark = TestSpark.spark
+    val pages = CorpusWriter.pagesDs(spark, 300L, partitions = genParts)
+    ExtractPipeline.run(pages, ExtractPipeline.Config(partitions = partitions))
+      .collect()
+      .map { e =>
+        val sha = java.security.MessageDigest.getInstance("SHA-256").digest(e.text)
+          .map(b => f"$b%02x").mkString
+        e.url -> ((e.status, e.textBytes, sha + "|" + e.spans.mkString(",")))
+      }.toMap
+  }
+
+  test("output content is invariant to partitioning (3x5 vs 17x2)") {
+    val a = contentFingerprint(partitions = 3, genParts = 5)
+    val b = contentFingerprint(partitions = 17, genParts = 2)
+    assert(a == b)
+  }
+
+  test("counters: per-status docs sum to input urls; bytes match") {
+    val spark = TestSpark.spark
+    val pages = CorpusWriter.pagesDs(spark, 300L, partitions = 4)
+    val extracted = ExtractPipeline.run(pages, ExtractPipeline.Config(partitions = 6))
+    val cnt = ExtractPipeline.counters(extracted).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val urls = ExtractPipeline.dedupLatest(pages).count()
+    assert(cnt.values.sum == urls)
+    assert(cnt.keySet.subsetOf(graft.core.Status.All.toSet))
+    assert(cnt("finished") > 0 && cnt.getOrElse("corrupted", 0L) > 0)
+  }
+
+  test("lineage: every row carries partition + snapshot id; rows cover input") {
+    val spark = TestSpark.spark
+    val pages = CorpusWriter.pagesDs(spark, 200L, partitions = 4)
+    val extracted = ExtractPipeline.run(pages,
+      ExtractPipeline.Config(partitions = 5, inputSnapshotId = 7L))
+    val lin = ExtractPipeline.lineage(extracted)
+    val rows = lin.collect()
+    assert(rows.map(_.getAs[Long]("docs")).sum == ExtractPipeline.dedupLatest(pages).count())
+    assert(rows.forall(_.getAs[Long]("inputSnapshotId") == 7L))
+    assert(rows.forall(_.getAs[String]("heuristicsVersion") == graft.core.Heuristics.Version))
+  }
+
+  test("giant documents are split out but extracted identically") {
+    val spark = TestSpark.spark
+    val pages = CorpusWriter.pagesDs(spark, 300L, partitions = 4)
+    val giants = pages.where(length(col("html")) > 100 * 1024)
+    assert(giants.count() > 0, "corpus must contain giant docs")
+    // tiny giant threshold: everything routed through the giant path
+    val allGiant = ExtractPipeline.run(pages,
+      ExtractPipeline.Config(partitions = 4, giantThreshold = 1))
+      .select("url", "textBytes", "status").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val normal = ExtractPipeline.run(pages, ExtractPipeline.Config(partitions = 4))
+      .select("url", "textBytes", "status").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(allGiant == normal)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.corpus.CorpusWriter
+import graft.pipeline.ExtractPipeline
+import graft.table.SnapshotTable
+
+/** Snapshot commit / idempotent resume / orphan GC (SURVEY.md §7 M3). */
+class SnapshotTableSpec extends AnyFunSuite {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-snap").toString
+
+  test("commit then read returns committed rows; chain appends") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = new SnapshotTable(tmpDir())
+    assert(t.currentSnapshotId.isEmpty && t.read(spark).isEmpty)
+    val id0 = t.commit(Seq(("a", 1L), ("b", 2L)).toDF("url", "v"))
+    assert(id0 == 0 && t.currentSnapshotId.contains(0L))
+    assert(t.read(spark).get.count() == 2)
+    val id1 = t.commit(Seq(("c", 3L)).toDF("url", "v"))
+    assert(id1 == 1 && t.read(spark).get.count() == 3)
+    assert(t.snapshotChain == Seq(1L, 0L))
+  }
+
+  test("runAndCommit is idempotent: second run is a no-op") {
+    val spark = TestSpark.spark
+    val root = tmpDir()
+    val pages = CorpusWriter.pagesDs(spark, 120L, partitions = 3)
+    val id = ExtractPipeline.runAndCommit(spark, pages, root,
+      ExtractPipeline.Config(partitions = 4))
+    assert(id == 0L)
+    val again = ExtractPipeline.runAndCommit(spark, pages, root,
+      ExtractPipeline.Config(partitions = 4))
+    assert(again == -1L, "all urls already committed -> nothing to do")
+    val t = new SnapshotTable(root)
+    assert(t.read(spark).get.select("url").distinct().count() ==
+      ExtractPipeline.dedupLatest(pages).count())
+  }
+
+  test("resume after partial commit completes to the single-run result") {
+    val spark = TestSpark.spark
+    val root = tmpDir()
+    val pages = CorpusWriter.pagesDs(spark, 150L, partitions = 3)
+    // simulate a partial first run: only a third of the input was committed
+    val firstHalf = pages.where(pmod(xxhash64(col("url")), lit(3)) === 0)
+    val id0 = ExtractPipeline.runAndCommit(spark, firstHalf, root,
+      ExtractPipeline.Config(partitions = 4))
+    assert(id0 == 0L)
+    // resume with the full input: only the remainder is extracted + appended
+    val id1 = ExtractPipeline.runAndCommit(spark, pages, root,
+      ExtractPipeline.Config(partitions = 4))
+    assert(id1 == 1L)
+    val t = new SnapshotTable(root)
+    val resumed = t.read(spark).get
+      .select("url", "status", "textBytes").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // reference: one clean run into a fresh table
+    val fresh = tmpDir()
+    ExtractPipeline.runAndCommit(spark, pages, fresh,
+      ExtractPipeline.Config(partitions = 4))
+    val single = new SnapshotTable(fresh).read(spark).get
+      .select("url", "status", "textBytes").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(resumed == single)
+    // counters sidecars exist per snapshot
+    assert(Files.exists(java.nio.file.Paths.get(root, "_counters", "snap-0")))
+    assert(Files.exists(java.nio.file.Paths.get(root, "_counters", "snap-1")))
+  }
+
+  test("sweepOrphans removes data dirs with no manifest (crashed commit)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = new SnapshotTable(tmpDir())
+    t.commit(Seq(("a", 1L)).toDF("url", "v"))
+    // orphan: data written but manifest/CURRENT never updated
+    val orphan = java.nio.file.Paths.get(t.root, "data", "snap-99")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    val removed = t.sweepOrphans()
+    assert(removed == Seq("snap-99"))
+    assert(!Files.exists(orphan))
+    assert(t.read(spark).get.count() == 1)
+  }
+}
