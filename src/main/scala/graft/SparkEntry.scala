@@ -1,13 +1,317 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.corpus.CorpusWriter
+import graft.ops.{Dedup, Similarity, TextStats}
+import graft.pipeline.ExtractPipeline
+
+/** Driver contract: queries (one per operator family), DuckDB oracle SQL,
+  * and the flagship entry. Column names/types are aligned 1:1 with the
+  * oracle SQL (the driver sorts columns by name and hashes values).
+  *
+  * Query families (SURVEY.md §2 Table B):
+  *  - q01..q10: relational coverage (agg, joins incl. broadcast/semi/anti,
+  *    window, rollup, set ops, string/date/array functions, sessionize)
+  *  - d01..d09: training-data text ops (exact dedup, token stats, quality,
+  *    lang-id, MinHash+LSH, brute Jaccard, SimHash, fingerprint, clusters)
+  *  - e01..e02: embedding similarity (brute-force cosine top-k, LSH ANN)
+  *  - x01..x03: the extraction pipeline itself on the synthetic pages
+  *    corpus (no SQL oracle possible — correctness is gated by the golden
+  *    byte-equality suite in `sbt test`; driver records rows>0)
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Synthetic pages corpus sized to the scale factor; cached per size. */
+  private def pages(spark: SparkSession, dir: String): DataFrame = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.01)
+    val rows = math.max(200L, (sf * 100000).toLong)
+    val path = s"/tmp/graft-pages/rows-$rows"
+    CorpusWriter.ensurePages(spark, rows, path)
+    spark.read.parquet(path)
+  }
+
+  /** Flagship: the full extraction pipeline on a small synthetic corpus. */
+  def entry(spark: SparkSession): DataFrame = {
+    val p = CorpusWriter.pagesDs(spark, 200L, partitions = 4)
+    ExtractPipeline.run(p, ExtractPipeline.Config(partitions = 8)).toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------------------------------------------- relational
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q02_topk_revenue" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders"); val l = t(s, d, "lineitem")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        // exact decimal arithmetic end-to-end: double->decimal casts happen
+        // on the RAW columns (far from rounding boundaries), never on
+        // computed doubles, so Spark and the oracle agree bit-for-bit
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(12,2)")))
+          .cast("decimal(18,4)").as("revenue")) // scale 4 = no rounding at
+          // the final cast (Spark HALF_UP vs DuckDB half-even would differ)
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    }),
+    "q03_region_rollup" -> ((s, d) => {
+      val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_bal"))
+        .select(coalesce(col("r_name"), lit("_ALL_")).as("region"),
+          coalesce(col("n_name"), lit("_ALL_")).as("nation"),
+          col("n_cust"), col("sum_bal"))
+        .orderBy("region", "nation")
+    }),
+    "q04_semi_anti" -> ((s, d) => {
+      val c = t(s, d, "customer"); val o = t(s, d, "orders")
+      val withO = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("with_orders"))
+      val withoutO = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("without_orders"))
+      withO.crossJoin(withoutO)
+    }),
+    "q05_window_topn" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .orderBy("o_custkey", "rn")
+    }),
+    "q06_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull, 0)
+            .when(unix_micros(col("ts").cast("timestamp")) - col("prev_us") > 1800L * 1000000L, 1)
+            .otherwise(0))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("new_session")) + 1).as("n_sessions"))
+        .orderBy("user_id")
+    }),
+    "q07_setops" -> ((s, d) => {
+      val ck = t(s, d, "customer").select(col("c_custkey").as("k"))
+      val ok = t(s, d, "orders").select(col("o_custkey").as("k")).distinct()
+      val u = ck.union(ok).distinct().agg(count(lit(1)).as("n_union"))
+      val i = ck.intersect(ok).agg(count(lit(1)).as("n_intersect"))
+      val e = ck.except(ok).agg(count(lit(1)).as("n_except"))
+      u.crossJoin(i).crossJoin(e)
+    }),
+    "q08_string_funcs" -> ((s, d) => {
+      t(s, d, "orders")
+        .select(regexp_extract(col("o_orderpriority"), "([0-9]+)", 1).as("prio_num"),
+          upper(substring(col("o_orderstatus"), 1, 1)).as("status_u"),
+          col("o_custkey"))
+        .groupBy(col("prio_num"), col("status_u"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("prio_num", "status_u")
+    }),
+    "q09_datetime" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(14,4)")).cast("decimal(18,4)").as("sum_value"))
+        .orderBy("day", "event_type")
+    }),
+    "q10_arrays" -> ((s, d) => {
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+          col("label").cast("int").as("label"))
+        .orderBy("vec_id")
+    }),
+    // ------------------------------------------------ text/dedup ops
+    "d01_exact_dedup" -> ((s, d) => {
+      Dedup.exact(t(s, d, "documents")).orderBy("doc_id")
+    }),
+    "d02_token_stats" -> ((s, d) => TextStats.tokenStats(t(s, d, "documents"))),
+    "d03_quality" -> ((s, d) => TextStats.quality(t(s, d, "documents"))),
+    "d04_lang_id" -> ((s, d) => TextStats.langId(t(s, d, "documents"))),
+    "d05_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(t(s, d, "documents"), threshold = 0.8)),
+    "d06_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairsBrute(t(s, d, "documents"), threshold = 0.8)),
+    "d07_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 3)),
+    "d08_fingerprint" -> ((s, d) => TextStats.fingerprint(t(s, d, "documents"))),
+    "d09_dedup_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.clusters(docs, Dedup.minhashPairs(docs, threshold = 0.8))
+        .orderBy("doc_id")
+    }),
+    // ------------------------------------------------ similarity
+    "e01_cosine_topk" -> ((s, d) =>
+      Similarity.cosineTopK(t(s, d, "embeddings"), col("vec_id") < 20, k = 5)),
+    "e02_ann_lsh" -> ((s, d) =>
+      Similarity.annLsh(t(s, d, "embeddings"), col("vec_id") < 20, k = 5)),
+    // ------------------------------------------------ extraction
+    "x01_extract_status_counts" -> ((s, d) => {
+      val out = ExtractPipeline.run(pages(s, d), ExtractPipeline.Config(partitions = 32))
+      out.groupBy(col("status"), col("mimeType"))
+        .agg(count(lit(1)).as("docs"), sum(col("textBytes")).as("bytes"))
+        .orderBy("status", "mimeType")
+    }),
+    "x02_extract_docs" -> ((s, d) => {
+      val out = ExtractPipeline.run(pages(s, d), ExtractPipeline.Config(partitions = 32))
+      out.select(col("url"), col("status"), col("mimeType"), col("textBytes"),
+        size(col("spans")).as("n_spans"), xxhash64(col("text")).as("text_hash"))
+        .orderBy("url")
+    }),
+    "x03_pages_dedup" -> ((s, d) => {
+      val p = pages(s, d)
+      val deduped = ExtractPipeline.dedupLatest(p)
+      p.agg(count(lit(1)).as("raw_rows")).crossJoin(
+        deduped.agg(count(lit(1)).as("unique_urls")))
+    }),
+  )
+
+  /** DuckDB-equivalent SQL per query (omitted for ops DuckDB cannot express
+    * engine-identically: hash-based signatures, the extraction pipeline). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_topk_revenue" ->
+      """SELECT c_custkey, c_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+    "q03_region_rollup" ->
+      """SELECT COALESCE(r_name, '_ALL_') AS region, COALESCE(n_name, '_ALL_') AS nation,
+        | COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""".stripMargin,
+    "q04_semi_anti" ->
+      """SELECT
+        | (SELECT COUNT(*) FROM customer c WHERE EXISTS
+        |   (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+        | (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+        |   (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders""".stripMargin,
+    "q05_window_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q06_sessionize" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        | SUM(CASE WHEN prev_us IS NOT NULL
+        |          AND epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END) + 1 AS n_sessions
+        |FROM (SELECT user_id, ts,
+        |        LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |      FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q07_setops" ->
+      """SELECT
+        | (SELECT COUNT(*) FROM (SELECT c_custkey AS k FROM customer
+        |    UNION SELECT DISTINCT o_custkey FROM orders)) AS n_union,
+        | (SELECT COUNT(*) FROM (SELECT c_custkey AS k FROM customer
+        |    INTERSECT SELECT DISTINCT o_custkey FROM orders)) AS n_intersect,
+        | (SELECT COUNT(*) FROM (SELECT c_custkey AS k FROM customer
+        |    EXCEPT SELECT DISTINCT o_custkey FROM orders)) AS n_except""".stripMargin,
+    "q08_string_funcs" ->
+      """SELECT regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_num,
+        | UPPER(SUBSTRING(o_orderstatus, 1, 1)) AS status_u,
+        | COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q09_datetime" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DECIMAL(18,4)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q10_arrays" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        | ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+        | CAST(label AS INT) AS label
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "d01_exact_dedup" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+        |FROM documents GROUP BY text ORDER BY 1""".stripMargin,
+    "d02_token_stats" ->
+      """SELECT doc_id,
+        | len(string_split_regex(trim(text), ' +')) AS n_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_subwords,
+        | LENGTH(text) AS n_chars_m,
+        | ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+        |   / len(string_split_regex(trim(text), ' +')), 4) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d03_quality" ->
+      """WITH base AS (
+        | SELECT doc_id, text,
+        |  string_split_regex(trim(lower(text)), ' +') AS toks,
+        |  LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+        |  LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id,
+        |  CAST(len(list_filter(toks, t -> list_contains(
+        |    ['the','a','of','and','to','in','is','on','for','with','as','by','at','or','be','this','that','it','an'], t)))
+        |    AS DOUBLE) / len(toks) AS sr,
+        |  CAST(punct AS DOUBLE) / LENGTH(text) AS pr,
+        |  CAST(digits AS DOUBLE) / LENGTH(text) AS dr,
+        |  len(toks) AS nt
+        | FROM base)
+        |SELECT doc_id, ROUND(sr, 4) AS stopword_ratio, ROUND(pr, 4) AS punct_ratio,
+        | ROUND(dr, 4) AS digit_ratio,
+        | ROUND(0.5 * sr + 0.3 * (1.0 - pr) + 0.2 * LEAST(1.0, CAST(nt AS DOUBLE) / 100.0), 4) AS quality_score
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "d06_jaccard_pairs" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+        |   for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS g FROM toks)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        | ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.g, b.g))) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+    "e01_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),
+        |scored AS (
+        | SELECT q.qid, e.vec_id AS nid,
+        |  ROUND(list_cosine_similarity(
+        |    CAST(q.qvec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cos
+        | FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+        |ranked AS (
+        | SELECT qid, nid, cos,
+        |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+        | FROM scored)
+        |SELECT qid AS query_id, rank, nid AS neighbor_id, cos
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+  )
 }

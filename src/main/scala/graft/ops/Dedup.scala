@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash groupBy), MinHash+LSH near-dup (shingle -> minhash -> band ->
+  * bucket-join), n-gram Jaccard verification, SimHash. All pure
+  * DataFrame/Catalyst expressions — codegen'd, no UDFs, no driver loops —
+  * so the same plan scales from 500 docs to 10^9 (the LSH band join is the
+  * only shuffle and it's on a uniform hash key).
+  */
+object Dedup {
+
+  /** Exact dedup on content: keep the smallest id per identical text.
+    * At scale this is a single hash-partial/final aggregate on a 64-bit
+    * content hash; grouping by the hash instead of the full text keeps
+    * shuffle rows narrow. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(xxhash64(col(textCol)).as("_h"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+      .select(col(idCol), col("dup_count"))
+
+  /** Distinct word n-gram shingles of `textCol` (lowercased). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val words = split(trim(lower(textCol)), "\\s+")
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: k independent permutations approximated by
+    * xxhash64(i, shingle); signature[i] = min over shingles.
+    * (Broder, "On the resemblance and containment of documents", 1997.) */
+  def minhashSignature(sh: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
+
+  /** LSH banding: k minhashes -> `bands` band hashes (rows = k/bands each).
+    * Docs sharing any band hash are near-dup candidates. */
+  def bandHashes(sig: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    array((0 until bands).map(b =>
+      xxhash64((lit(b) +: (0 until rows).map(r =>
+        element_at(sig, b * rows + r + 1))): _*)): _*)
+  }
+
+  /** Exact n-gram Jaccard similarity between two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_distinct(concat(a, b)))
+
+  /** MinHash+LSH near-duplicate pairs, verified with exact n-gram Jaccard.
+    *
+    * Plan shape (scale-first): shingle+sign per doc (narrow map) ->
+    * explode band hashes -> self-join on (band, hash) -> dedupe candidate
+    * pairs -> verify Jaccard on the pair (re-joining the shingle arrays).
+    * The candidate join is the only wide op; band hashes are uniform so no
+    * skew. At 10^9 docs the shingle arrays stay out of the band shuffle
+    * (only doc ids travel), joined back just for the surviving candidates.
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      ngram: Int = 3,
+      k: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), ngram).as("sh"))
+    val sig = sh.select(col("id"), col("sh"), minhashSignature(col("sh"), k).as("sig"))
+    val banded = sig
+      .select(col("id"), posexplode(bandHashes(col("sig"), k, bands)).as(Seq("band", "bh")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    val shA = sh.select(col("id").as("a"), col("sh").as("sha"))
+    val shB = sh.select(col("id").as("b"), col("sh").as("shb"))
+    cand.join(shA, "a").join(shB, "b")
+      .select(col("a"), col("b"),
+        round(jaccard(col("sha"), col("shb")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy("a", "b")
+  }
+
+  /** Brute-force n-gram Jaccard pairs (quadratic; the small-scale oracle for
+    * minhashPairs and the DuckDB-checkable variant). */
+  def jaccardPairsBrute(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      ngram: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), ngram).as("sh"))
+    sh.as("x").join(sh.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        round(jaccard(col("x.sh"), col("y.sh")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy("a", "b")
+  }
+
+  /** Near-dup clusters from verified pairs: every doc maps to the smallest
+    * doc id reachable in its pair-neighborhood, iterated to a fixpoint
+    * (min-label propagation — bounded iterations; near-dup clusters are
+    * tiny so 3 rounds reaches the fixpoint in practice; each round is one
+    * shuffle). Returns (doc_id, cluster_id). */
+  def clusters(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+      rounds: Int = 3): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    var i = 0
+    while (i < rounds) {
+      val neighborMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(edges("a").as("id2")).agg(min(col("cluster")).as("nmin"))
+      labels = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+      i += 1
+    }
+    labels.select(col("id").as(idCol), col("cluster").as("cluster_id"))
+  }
+
+  /** SimHash (Charikar 2002): 64-bit signature where bit j is the sign of
+    * the sum over tokens of (bit j of token hash ? +1 : -1). Docs within a
+    * small Hamming distance are near-dups. Expressed natively: per-bit
+    * weighted sums via aggregate() over the token-hash array. */
+  def simhash(textCol: Column): Column = {
+    val masks: Array[Long] = Array.tabulate(64)(j => 1L << j)
+    val hashes = transform(split(trim(lower(textCol)), "\\s+"), w => xxhash64(w))
+    // single pass over tokens: per-bit +/-1 sums in a 64-long accumulator
+    val sums = aggregate(hashes, array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, lit(masks),
+        (a, m) => a + when(h.bitwiseAND(m) =!= 0L, lit(1L)).otherwise(lit(-1L))))
+    aggregate(
+      zip_with(sums, lit(masks), (s, m) => when(s > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs within `maxHamming`, using 4-segment blocking
+    * (pigeonhole: distance <= 3 over 64 bits => at least one identical
+    * 16-bit segment) so the join is on segment equality, not a cross join. */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val seg = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(s =>
+        shiftright(col("sig"), s * 16).bitwiseAND(lit(0xffffL))): _*)).as(Seq("seg", "segv")))
+    seg.as("x").join(seg.as("y"),
+        col("x.seg") === col("y.seg") && col("x.segv") === col("y.segv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        hamming(col("x.sig"), col("y.sig")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("a", "b")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.corpus.Rng
+
+/** Similarity search over an embedding column (Array[Float]):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path (buckets shrink the candidate set
+  * from N to N/2^bits per query; the bucket join replaces the cross join).
+  * All arithmetic in double, sequential array order — deterministic and
+  * engine-reproducible. Pure Catalyst expressions (zip_with/aggregate),
+  * no UDFs.
+  */
+object Similarity {
+
+  /** Embedding column cast float->double for stable arithmetic. */
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k: for each query vector (`queryPred` selects queries),
+    * the k nearest other vectors. Brute force = one broadcast of the query
+    * side against a full scan — the right baseline at any scale when the
+    * query set is small (it broadcasts) and the corpus scan is columnar. */
+  def cosineTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val all = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+    val q = emb.where(queryPred)
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+    val scored = all.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qvec"), col("nvec")), 4).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("nid").as("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH (seeded; fixed across
+    * runs and engines). */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
+    val r = new Rng(seed)
+    Array.tabulate(bits, dim) { (_, _) =>
+      // uniform in [-1, 1): direction-only, magnitude irrelevant for sign
+      ((r.nextLong() >>> 11) * 1.1102230246251565e-16) * 2.0 - 1.0
+    }
+  }
+
+  /** Sign-LSH bucket id: bit j = sign(v · h_j). (Charikar 2002 SimHash for
+    * real vectors / Indyk-Motwani LSH.) */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.indices.map { j =>
+      val h = lit(planes(j))
+      when(dot(vec, transform(h, x => x.cast("double"))) > 0,
+        shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via LSH buckets: queries only score candidates in the same bucket.
+    * Recall < 1 by design; at 10^9 vectors this turns a cross join into a
+    * uniform equi-join on the bucket key. Multi-probe (probe also buckets at
+    * Hamming distance 1) would raise recall — kept single-probe here. */
+  def annLsh(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      bits: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(bits, dim)
+    val bucketed = emb.select(col(idCol).as("nid"),
+      asDouble(col(vecCol)).as("nvec"))
+      .withColumn("bucket", lshBucket(col("nvec"), planes))
+    val q = emb.where(queryPred)
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("bucket", lshBucket(col("qvec"), planes))
+    val scored = bucketed.join(q, Seq("bucket"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("bucket"),
+        round(cosine(col("qvec"), col("nvec")), 4).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("neighbor_id"), col("cos"), col("bucket"))
+      .orderBy("query_id", "rank")
+  }
+}

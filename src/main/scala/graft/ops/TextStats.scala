@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  * All native Catalyst expressions (codegen'd) — no UDFs in the hot path.
+  */
+object TextStats {
+
+  /** Whitespace tokens. Split on literal spaces after trim — the exact
+    * formula is mirrored in the DuckDB oracle SQL. */
+  def tokens(textCol: Column): Column = split(trim(textCol), " +")
+
+  /** BPE-ish subword count: runs of letters, runs of digits, single other
+    * non-space chars — a cheap proxy for tokenizer budget estimation. */
+  def subwordCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      subwordCount(col("text")).as("n_subwords"),
+      length(col("text")).as("n_chars_m"),
+      round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+        size(tokens(col("text"))), 4).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on",
+    "for", "with", "as", "by", "at", "or", "be", "this", "that", "it", "an")
+  private val StopDe = Seq("der", "die", "das", "und", "ist", "ein", "eine",
+    "zu", "mit", "auf", "für", "von", "im", "den", "nicht")
+  private val StopEs = Seq("el", "la", "los", "las", "de", "y", "es", "en",
+    "un", "una", "que", "por", "con", "para", "del")
+  private val StopFr = Seq("le", "la", "les", "de", "et", "est", "un", "une",
+    "que", "pour", "dans", "du", "des", "au", "pas")
+
+  /** Quality score: stopword ratio + punctuation ratio + length saturation,
+    * the C4/Gopher-style cheap filters. Deterministic double math. */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val nTok = size(toks)
+    // occurrence count (not distinct matches): mirrors the oracle's
+    // list_filter + list_contains formulation exactly
+    val stopRatio = size(filter(toks,
+      t => array_contains(lit(StopEn.toArray), t))).cast("double") / nTok
+    val punct = length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))
+    val punctRatio = punct.cast("double") / length(col("text"))
+    val digits = length(col("text")) -
+      length(regexp_replace(col("text"), "[0-9]", ""))
+    val digitRatio = digits.cast("double") / length(col("text"))
+    docs.select(
+      col("doc_id"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(digitRatio, 4).as("digit_ratio"),
+      round(
+        lit(0.5) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio) +
+          lit(0.2) * least(lit(1.0), nTok.cast("double") / 100.0), 4)
+        .as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic: distinct-token overlap with per-language
+    * stopword lists; argmax with deterministic (score desc, lang asc)
+    * tie-break via sorted struct array. */
+  def langId(docs: DataFrame): DataFrame = {
+    val words = array_distinct(tokens(lower(col("text"))))
+    def score(stop: Seq[String]) = size(array_intersect(words, lit(stop.toArray)))
+    val scored = array(
+      struct((-score(StopEn)).as("neg"), lit("en").as("lang")),
+      struct((-score(StopDe)).as("neg"), lit("de").as("lang")),
+      struct((-score(StopEs)).as("neg"), lit("es").as("lang")),
+      struct((-score(StopFr)).as("neg"), lit("fr").as("lang")))
+    val best = element_at(array_sort(scored), 1)
+    docs.select(
+      col("doc_id"),
+      col("lang").as("lang_tag"),
+      when(best.getField("neg") === 0, lit("und"))
+        .otherwise(best.getField("lang")).as("lang_guess"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing-style document fingerprint (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003, simplified): rolling 8-char-gram hashes, keep the
+    * `k` smallest distinct — a compact sketch for containment checks. */
+  def fingerprint(docs: DataFrame, gram: Int = 8, k: Int = 8): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "[^a-z0-9]", "")
+    val grams = transform(
+      sequence(lit(1), greatest(length(norm) - (gram - 1), lit(1))),
+      i => xxhash64(norm.substr(i, lit(gram))))
+    docs.select(
+      col("doc_id"),
+      slice(array_sort(array_distinct(grams)), 1, k).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextStats}
+
+/** Training-data ops over the driver-provided documents/embeddings tables. */
+class OpsSpec extends AnyFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = TestSpark.spark.read.parquet(s"$dir/documents.parquet")
+  private def emb = TestSpark.spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("minhash-LSH pairs match brute-force jaccard pairs at threshold 0.8") {
+    val brute = Dedup.jaccardPairsBrute(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification filter makes LSH precise; bands make recall high —
+    // on the planted near-dups (j≈0.97) recall must be total
+    assert(lsh == brute, s"missing=${brute -- lsh} extra=${lsh -- brute}")
+  }
+
+  test("dedup clusters: pair members share a cluster; singletons self-map") {
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.8)
+    val cl = Dedup.clusters(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ps = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.nonEmpty)
+    ps.foreach { case (a, b) =>
+      assert(cl(a) == cl(b), s"pair ($a,$b) in clusters ${cl(a)} vs ${cl(b)}")
+      assert(cl(a) <= math.min(a, b))
+    }
+    val paired = ps.flatMap(p => Seq(p._1, p._2)).toSet
+    cl.foreach { case (id, c) => if (!paired.contains(id)) assert(c == id) }
+  }
+
+  test("simhash: identical texts collide; near-dups within small hamming") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark catalyst optimizers")
+    ).toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 10)
+  }
+
+  test("cosine topk: self excluded, ranks contiguous, scores descending") {
+    val out = Similarity.cosineTopK(emb, col("vec_id") < 5, k = 5).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to 5))
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(!rows.exists(_.getLong(2) == q))
+    }
+  }
+
+  test("ann-lsh neighbors are a subset of brute-force candidates by bucket") {
+    val out = Similarity.annLsh(emb, col("vec_id") < 5, k = 5)
+    val rows = out.collect()
+    // within a bucket ranking must match exact cosine ordering
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("token stats and quality are deterministic and sane") {
+    val ts = TextStats.tokenStats(docs).collect()
+    assert(ts.forall(r => r.getInt(1) > 0 && r.getInt(3) > 0))
+    val q = TextStats.quality(docs).collect()
+    q.foreach { r =>
+      val score = r.getDouble(4)
+      assert(score >= 0.0 && score <= 1.0, s"score $score")
+    }
+    val lid = TextStats.langId(docs).collect()
+    assert(lid.forall(r => Set("en", "de", "es", "fr", "und").contains(r.getString(2))))
+  }
+
+  test("fingerprints: k smallest hashes, sorted, stable across runs") {
+    val a = TextStats.fingerprint(docs).collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1))
+    val b = TextStats.fingerprint(docs).collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1))
+    assert(a.sameElements(b))
+    a.foreach { case (_, fp) =>
+      assert(fp.length <= 8 && fp == fp.sorted)
+    }
+  }
+}
