@@ -13,6 +13,11 @@ case class Page(
     text: String,
     lang: String)
 
+/** Narrow row for the extraction map stage: everything after dedup needs
+  * only (url, payload) — crawler columns (text, lang) and warc_ts are
+  * dropped before the shuffle so they never travel. */
+case class RawDoc(url: String, html: Array[Byte])
+
 /** A contiguous region of the extracted text (byte offsets into `text`).
   * `kind` is the source block tag ("p", "h1", "line", "attachment:<name>"...).
   */

@@ -1,6 +1,7 @@
 package graft.corpus
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Spark-side corpus materialization: pages are a pure function of the row
   * index, so generation distributes trivially and the table content is
@@ -14,6 +15,17 @@ object CorpusWriter {
 
   def writePages(spark: SparkSession, n: Long, path: String, partitions: Int = 32): Unit =
     pagesDs(spark, n, partitions).write.mode("overwrite").parquet(path)
+
+  /** Write the pages table BUCKETED by url-hash: all versions of a url land
+    * in one file. This is the 100 TB ingest layout — extraction over a
+    * bucketed table needs NO shuffle at all (per-partition dedup + map),
+    * the same way production tables are bucketed/sorted at write time to
+    * co-locate later joins. One file per bucket; files stay under
+    * maxPartitionBytes so each bucket reads back as one task partition. */
+  def writePagesBucketed(spark: SparkSession, n: Long, path: String, buckets: Int = 32): Unit =
+    pagesDs(spark, n, buckets)
+      .repartition(buckets, pmod(xxhash64(col("url")), lit(buckets)))
+      .write.mode("overwrite").parquet(path)
 
   /** Idempotent local materialization for tests/queries: generate once,
     * reuse across SparkEntry query invocations. */

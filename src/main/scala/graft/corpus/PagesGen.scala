@@ -136,12 +136,14 @@ object PagesGen {
     val r = Rng.forRow(Seed, idx)
     val lang = Langs(r.nextInt(Langs.length))
     val cat = category(idx)
+    // sizes approximate the Common-Crawl page-size distribution: most pages
+    // 3-15 KB of markup, a long tail, ~1% giants (the 100 MB cap analog)
     val html: Array[Byte] = cat match {
-      case "html-clean" => htmlClean(r, lang, 3 + r.nextInt(6))
+      case "html-clean" => htmlClean(r, lang, 8 + r.nextInt(18))
       case "html-messy" => htmlMessy(r, lang)
       case "html-linkfarm" => htmlLinkfarm(r, lang)
       case "pdf-simple" =>
-        PdfGen.build(PdfGen.PdfSpec(pdfPages(r, lang, 1 + r.nextInt(3))))
+        PdfGen.build(PdfGen.PdfSpec(pdfPages(r, lang, 2 + r.nextInt(4))))
       case "pdf-attachments" =>
         PdfGen.build(PdfGen.PdfSpec(
           pdfPages(r, lang, 1 + r.nextInt(2)),
@@ -160,12 +162,12 @@ object PagesGen {
         val full = PdfGen.build(PdfGen.PdfSpec(pdfPages(r, lang, 2)))
         java.util.Arrays.copyOf(full, math.min(full.length, 120 + r.nextInt(60)))
       case "empty" => Array.emptyByteArray
-      case "giant" => htmlClean(r, lang, 600) // skew stressor (~0.4 MB)
+      case "giant" => htmlClean(r, lang, 2000) // skew stressor (~0.6 MB)
       case "dup-url" =>
-        // re-crawl (…93) gets an extra paragraph: dedup must pick it
-        val paras = 4 + (if (idx % 100 == 93) 2 else 0)
+        // re-crawl (…93) gets extra paragraphs: dedup must pick it
+        val paras = 8 + (if (idx % 100 == 93) 4 else 0)
         htmlClean(Rng.forRow(Seed, idx), lang, paras)
-      case _ => htmlClean(r, lang, 4)
+      case _ => htmlClean(r, lang, 6 + r.nextInt(10))
     }
     val crawlText = // the crawler's own (unused) text guess
       if (cat.startsWith("html")) paragraph(Rng.forRow(Seed + 1, idx), lang, 2)
@@ -177,7 +179,7 @@ object PagesGen {
 
   private def navBlock(r: Rng, lang: String): String = {
     val w = pool(lang)
-    val items = (0 until 5 + r.nextInt(4)).map { _ =>
+    val items = (0 until 12 + r.nextInt(12)).map { _ =>
       s"""<li><a href="/${w(r.nextInt(w.length))}">${w(r.nextInt(w.length))}</a></li>"""
     }.mkString
     s"""<nav class="main-nav"><ul>$items</ul></nav>"""
@@ -192,8 +194,8 @@ object PagesGen {
 
   private def sidebarBlock(r: Rng, lang: String): String = {
     val w = pool(lang)
-    val items = (0 until 6).map(_ =>
-      s"""<li><a href="/${w(r.nextInt(w.length))}">${sentence(r, lang).take(20)}</a></li>""").mkString
+    val items = (0 until 10 + r.nextInt(8)).map(_ =>
+      s"""<li><a href="/${w(r.nextInt(w.length))}">${sentence(r, lang).take(24)}</a></li>""").mkString
     s"""<aside class="sidebar"><h3>${w(r.nextInt(w.length))}</h3><ul>$items</ul></aside>"""
   }
 
@@ -232,19 +234,19 @@ object PagesGen {
          |<p>$p3 quoted &#8212; end</div>
          |</span></em>
          |${footerBlock(r, lang)}
-         |<p>${paragraph(r, lang, 3)}""".stripMargin
+         |${(0 until 6 + r.nextInt(8)).map(_ => s"<p>${paragraph(r, lang, 2 + r.nextInt(4))}").mkString("\n")}""".stripMargin
     // encode as windows-1252 so the declared charset is honest
     html.getBytes(java.nio.charset.Charset.forName("windows-1252"))
   }
 
   def htmlLinkfarm(r: Rng, lang: String): Array[Byte] = {
     val w = pool(lang)
-    val farms = (0 until 8).map { _ =>
-      val links = (0 until 10 + r.nextInt(10)).map(_ =>
+    val farms = (0 until 16).map { _ =>
+      val links = (0 until 14 + r.nextInt(14)).map(_ =>
         s"""<a href="/${w(r.nextInt(w.length))}-${r.nextInt(1000)}">${w(r.nextInt(w.length))} ${w(r.nextInt(w.length))}</a>""").mkString(" ")
       s"<div>$links</div>"
     }.mkString("\n")
-    val main = s"<p>${paragraph(r, lang, 5)}</p><p>${paragraph(r, lang, 4)}</p>"
+    val main = s"<p>${paragraph(r, lang, 5)}</p><p>${paragraph(r, lang, 4)}</p><p>${paragraph(r, lang, 5)}</p>"
     val html =
       s"""<!DOCTYPE html><html><head><title>${sentence(r, lang)}</title></head>
          |<body>$farms<article>$main</article>$farms</body></html>""".stripMargin
@@ -253,7 +255,7 @@ object PagesGen {
 
   def pdfPages(r: Rng, lang: String, n: Int): Seq[Seq[String]] =
     (0 until n).map { _ =>
-      (0 until 5 + r.nextInt(12)).map(_ => sentence(r, lang))
+      (0 until 20 + r.nextInt(25)).map(_ => sentence(r, lang))
     }
 
   private def mediaJunk(r: Rng): Array[Byte] = {

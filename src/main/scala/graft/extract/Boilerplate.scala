@@ -72,25 +72,42 @@ object Boilerplate {
   def segment(root: Elem): Vector[Block] = {
     val out = Vector.newBuilder[Block]
     val sb = new java.lang.StringBuilder(256)
-    var linkWords = 0
+    var pendingSpace = false // whitespace collapsed on the fly: one copy,
+    var linkWords = 0        // not build-then-normalize (allocation hot path)
     var blockTag = "p"
     var blockBoiler = false
 
+    def appendNormalized(t: String): Unit = {
+      var i = 0
+      val n = t.length
+      while (i < n) {
+        val c = t.charAt(i)
+        if (Character.isWhitespace(c)) pendingSpace = true
+        else {
+          if (pendingSpace && sb.length() > 0) sb.append(' ')
+          sb.append(c)
+          pendingSpace = false
+        }
+        i += 1
+      }
+    }
+
     def flush(): Unit = {
-      val t = normalizeSpace(sb.toString)
-      if (t.nonEmpty) {
+      if (sb.length() > 0) {
+        val t = sb.toString
         val w = countWords(t)
         out += Block(t, w, math.min(linkWords, w), blockTag, blockBoiler)
       }
       sb.setLength(0)
+      pendingSpace = false
       linkWords = 0
     }
 
     def walk(n: Node, anchorDepth: Int, boilerDepth: Int): Unit = n match {
       case TextNode(t) =>
         if (t.nonEmpty) {
-          if (sb.length() > 0) sb.append(' ')
-          sb.append(t)
+          pendingSpace = true // node boundary acts as a separator
+          appendNormalized(t)
           if (anchorDepth > 0) linkWords += countWords(t)
         }
       case e: Elem =>
@@ -120,25 +137,6 @@ object Boilerplate {
     walk(root, 0, 0)
     flush()
     out.result()
-  }
-
-  private def normalizeSpace(s: String): String = {
-    val sb = new java.lang.StringBuilder(s.length)
-    var i = 0
-    var pendingSpace = false
-    var started = false
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (Character.isWhitespace(c) || c == ' ') pendingSpace = true
-      else {
-        if (pendingSpace && started) sb.append(' ')
-        sb.append(c)
-        pendingSpace = false
-        started = true
-      }
-      i += 1
-    }
-    sb.toString
   }
 
   private def countWords(s: String): Int = {

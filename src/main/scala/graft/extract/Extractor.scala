@@ -76,7 +76,10 @@ object Extractor {
     val s = dec.decode(java.nio.ByteBuffer.wrap(payload)).toString
     // strip BOM + normalize newlines (alpha-flatten analog, utils.py:302-309)
     val noBom = if (s.nonEmpty && s.charAt(0) == '﻿') s.substring(1) else s
-    noBom.replace("\r\n", "\n").replace('\r', '\n')
+    // fast path: most documents have no CR at all — skip the two full-copy
+    // replace() passes (hot-loop allocation rate is the multicore limiter)
+    if (noBom.indexOf('\r') < 0) noBom
+    else noBom.replace("\r\n", "\n").replace('\r', '\n')
   }
 
   private def sniffCharset(payload: Array[Byte]): Charset = {

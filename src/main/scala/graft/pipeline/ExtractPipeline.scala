@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{ExtractedRow, Heuristics, Page}
+import graft.core.{ExtractedRow, Heuristics, RawDoc}
 import graft.extract.Extractor
 import graft.table.SnapshotTable
 
@@ -14,25 +14,47 @@ import graft.table.SnapshotTable
   * declarative plan:
   *
   * {{{
-  *   scan pages -> dedup latest per url -> [resume anti-join]
-  *     -> salted repartition on url-hash (giant docs split out)
+  *   scan pages
+  *     -> giant/small split (broadcast semi/anti on the giant-url set)
+  *     -> per branch: narrow to (url, warc_ts, html)
+  *        -> [resume anti-join vs committed urls]
+  *        -> dedup latest per url (ONE payload shuffle; leaves data
+  *           hash-partitioned on url = the salted url-hash repartition)
+  *     -> giants additionally spread round-robin (~1% of bytes)
   *     -> mapPartitions(sniff -> route -> extract -> validate -> stamp)
   *     -> output + _counters + _lineage
   * }}}
   *
   * Scale notes (designed for 10^12 rows / 1000 executors, tested local):
-  *  - the ONLY shuffles are the dedup window (required for last-write-wins
-  *    semantics) and the explicit salted repartition; extraction itself is
-  *    a narrow map with per-partition init (UnoServer-warmup analog,
-  *    docsbox/__init__.py:64-65).
-  *  - skew: payloads are Zipf-ish in size; docs above `giantThreshold` are
-  *    split into a round-robin repartition so one task never holds many
-  *    giants (the 100 MB nginx body-cap analog, nginx.conf:46-47). AQE skew
-  *    handling does not apply to map stages, hence explicit.
-  *  - the dedup window can be skipped (`assumeUnique`) when the source
-  *    guarantees unique urls — at 100 TB that window is the dominant shuffle.
-  *  - resume uses a left_anti join against committed urls; Catalyst
-  *    broadcast-selects when the committed side is small, SMJ otherwise.
+  *
+  *  - ONE full-payload shuffle. `groupBy(url).max_by(html, (warc_ts, hash))`
+  *    fuses last-write-wins dedup with url-hash placement: the aggregation
+  *    exchange IS the "salted repartition keyed on url-hash" (Murmur3 on the
+  *    key — placement uncorrelated with url lexicographics), and map-side
+  *    partial max_by drops duplicate payloads BEFORE they travel — at real
+  *    crawl dup rates (30-60%) that halves the wire bytes.
+  *  - Crawler columns (text, lang) are projected away before the shuffle —
+  *    they are not inputs to extraction (FIXTURES.md §1), so Parquet column
+  *    pruning plus the narrow projection keeps them off the wire entirely.
+  *  - Skew (north_rule "explicit skew handling"): docs above giantThreshold
+  *    are byte-skew outliers (100 MB nginx cap analog, nginx.conf:46-47).
+  *    The giant-URL set is collected from a length scan and broadcast; the
+  *    split is semi/anti joins on the RAW scan so the dedup aggregate is
+  *    never recomputed (a filter-Union diamond over the aggregate would
+  *    execute it once per branch — Spark does not share subplans). Each
+  *    branch deduplicates the COMPLETE version set of its urls, so winners
+  *    are identical to a global dedup. Giants then get a dedicated
+  *    round-robin exchange (~1% of bytes) for one-giant-per-task placement.
+  *    At 10^12 docs the giant-url set (~1%) is too big to broadcast — the
+  *    production variant keeps a persisted byte-length column and
+  *    partitions the source by length tier instead; same plan shape.
+  *  - Extraction is a narrow typed map with per-partition init (UnoServer
+  *    warmup analog, docsbox/__init__.py:64-65); it never throws — bad rows
+  *    become status rows (tasks.py:102-103).
+  *  - Resume: left_anti against committed urls, planned AFTER dedup so it
+  *    joins narrow unique rows; Catalyst broadcast-selects when the
+  *    committed side is small, SMJ otherwise (the deduped side is already
+  *    hash-partitioned on url, so only the committed side moves).
   */
 object ExtractPipeline {
 
@@ -40,11 +62,21 @@ object ExtractPipeline {
       partitions: Int = 32,
       giantThreshold: Int = 100 * 1024,
       inputSnapshotId: Long = 0L,
-      assumeUnique: Boolean = false)
+      assumeUnique: Boolean = false,
+      splitGiants: Boolean = true,
+      /** Input is bucketed by url-hash (CorpusWriter.writePagesBucketed /
+        * the production ingest layout): all versions of a url share a file,
+        * so dedup happens per-partition in the map — ZERO shuffles. The
+        * steady-state 100 TB configuration. Requires each bucket to fit in
+        * task memory for the winner map (buckets are sized at write time);
+        * giant-doc skew is bounded by the bucket layout, residual skew is
+        * handled by the per-doc work caps (HtmlParser.MaxNodes). */
+      assumeColocated: Boolean = false)
 
-  /** Last-write-wins per url: row_number over (url, warc_ts desc) with a
-    * content-hash tiebreak for full determinism (Redis key overwrite analog,
-    * views.py:255,271). */
+  /** Last-write-wins per url via a window — the reference implementation of
+    * the dedup semantics (Redis key overwrite analog, views.py:255,271);
+    * kept for tests/oracle use. The hot path uses the fused aggregate in
+    * [[run]] (same winners, one shuffle, narrow rows). */
   def dedupLatest(pages: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("url"))
       .orderBy(col("warc_ts").desc, xxhash64(col("html")).desc)
@@ -52,38 +84,97 @@ object ExtractPipeline {
       .where(col("_rn") === 1).drop("_rn")
   }
 
-  /** Salted repartition keyed on url-hash, giant docs split out round-robin
-    * (north_rule partitioning/skew requirement). Content of the output is
-    * partitioning-independent; only placement changes. */
-  def partitionForExtraction(pages: DataFrame, cfg: Config): DataFrame = {
-    val sized = pages.withColumn("_sz", length(col("html")))
-    val small = sized.where(col("_sz") <= cfg.giantThreshold)
-      .repartition(cfg.partitions, pmod(xxhash64(col("url")), lit(cfg.partitions)))
-    val giant = sized.where(col("_sz") > cfg.giantThreshold)
-      .repartition(cfg.partitions) // round-robin: ~1 giant per task
-    small.unionByName(giant).drop("_sz")
-  }
+  /** Fused dedup + placement on narrow rows: (url, warc_ts, html) ->
+    * (url, html), hash-partitioned by url. Winner ordering matches
+    * [[dedupLatest]]: (warc_ts, xxhash64(html)) descending. */
+  private def dedupNarrow(narrow: DataFrame): DataFrame =
+    narrow.groupBy(col("url"))
+      .agg(max_by(col("html"), struct(col("warc_ts"), xxhash64(col("html")))).as("html"))
 
   /** The typed map stage. Never throws; bad rows become status rows. */
-  def extractStage(pages: Dataset[Page], cfg: Config): Dataset[ExtractedRow] = {
-    import pages.sparkSession.implicits._
-    pages.mapPartitions { it =>
+  def extractStage(docs: Dataset[RawDoc], cfg: Config): Dataset[ExtractedRow] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
-      it.map { p =>
-        val e = Extractor.extract(p.url, if (p.html == null) Array.emptyByteArray else p.html)
+      it.map { d =>
+        val e = Extractor.extract(d.url, if (d.html == null) Array.emptyByteArray else d.html)
         ExtractedRow(e.url, e.status, e.mimeType, e.text, e.spans, e.textBytes,
           e.message, e.heuristicsVersion, pid, cfg.inputSnapshotId)
       }
     }
   }
 
-  /** Full pipeline (no sink): pages DataFrame -> extracted Dataset. */
-  def run(pages: DataFrame, cfg: Config = Config()): Dataset[ExtractedRow] = {
+  /** Zero-shuffle path for url-bucketed input: last-write-wins dedup inside
+    * each partition (all versions of a url are co-located by the bucketed
+    * write), then extract in the same pass. */
+  private def extractColocated(pages: DataFrame, cfg: Config): Dataset[ExtractedRow] = {
     import pages.sparkSession.implicits._
-    val unique = if (cfg.assumeUnique) pages else dedupLatest(pages)
-    val placed = partitionForExtraction(unique, cfg)
-    extractStage(placed.as[Page], cfg)
+    val narrow = pages.select(col("url"), col("warc_ts"), col("html"))
+    narrow.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      // winner per url within the bucket: (warc_ts, xxhash64(html)) desc —
+      // identical ordering to dedupLatest
+      val best = new java.util.HashMap[String, (java.sql.Timestamp, Long, Array[Byte])]()
+      it.foreach { row =>
+        val url = row.getString(0)
+        val ts = row.getTimestamp(1) // full microsecond precision
+        val html = row.getAs[Array[Byte]](2)
+        // same tiebreak hash as the xxhash64(html) expression in dedupLatest
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          html, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, html.length, 42L)
+        val prev = best.get(url)
+        val cmp = if (prev == null) 1 else ts.compareTo(prev._1)
+        if (prev == null || cmp > 0 || (cmp == 0 && h > prev._2))
+          best.put(url, (ts, h, html))
+      }
+      val iter = best.entrySet().iterator()
+      new Iterator[ExtractedRow] {
+        def hasNext: Boolean = iter.hasNext
+        def next(): ExtractedRow = {
+          val e0 = iter.next()
+          val e = Extractor.extract(e0.getKey, e0.getValue._3)
+          ExtractedRow(e.url, e.status, e.mimeType, e.text, e.spans, e.textBytes,
+            e.message, e.heuristicsVersion, pid, cfg.inputSnapshotId)
+        }
+      }
+    }
   }
+
+  /** Build the extraction-input plan: split, (resume), dedup, place.
+    * `done` = committed urls for idempotent resume (None on first run). */
+  private def planInput(pages: DataFrame, cfg: Config, done: Option[DataFrame]): Dataset[RawDoc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val narrow = pages.select(col("url"), col("warc_ts"), col("html"))
+
+    def minusDone(df: DataFrame): DataFrame = done match {
+      case Some(d) => df.join(d.select(col("url")).distinct(), Seq("url"), "left_anti")
+      case None => df
+    }
+
+    def prep(df: DataFrame): DataFrame =
+      if (cfg.assumeUnique)
+        minusDone(df).select(col("url"), col("html"))
+          .repartition(cfg.partitions, pmod(xxhash64(col("url")), lit(cfg.partitions)))
+      else minusDone(dedupNarrow(df))
+
+    val placed =
+      if (!cfg.splitGiants) prep(narrow)
+      else {
+        val giantUrls = broadcast(
+          narrow.where(length(col("html")) > cfg.giantThreshold)
+            .select(col("url")).distinct())
+        val small = narrow.join(giantUrls, Seq("url"), "left_anti")
+        val giant = narrow.join(giantUrls, Seq("url"), "left_semi")
+        prep(small).unionByName(prep(giant).repartition(cfg.partitions))
+      }
+    placed.as[RawDoc]
+  }
+
+  /** Full pipeline (no sink): pages DataFrame -> extracted Dataset. */
+  def run(pages: DataFrame, cfg: Config = Config()): Dataset[ExtractedRow] =
+    if (cfg.assumeColocated) extractColocated(pages, cfg)
+    else extractStage(planInput(pages, cfg, None), cfg)
 
   /** Per-status counters (log_task_completion analog, tasks.py:203-220):
     * partial+final HashAggregate, map-side combined by Catalyst. */
@@ -111,16 +202,10 @@ object ExtractPipeline {
       outputRoot: String,
       cfg: Config = Config()): Long = {
     val table = new SnapshotTable(outputRoot)
-    val unique = if (cfg.assumeUnique) pages else dedupLatest(pages)
-    val todo = table.read(spark) match {
-      case Some(done) =>
-        unique.join(done.select(col("url")).distinct(), Seq("url"), "left_anti")
-      case None => unique
-    }
+    val done = table.read(spark).map(_.select(col("url")))
+    val todo = planInput(pages, cfg, done)
     if (todo.isEmpty) return -1L
-    import spark.implicits._
-    val placed = partitionForExtraction(todo, cfg)
-    val extracted = extractStage(placed.as[Page], cfg)
+    val extracted = extractStage(todo, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val id = table.commit(extracted.toDF(), Map(

@@ -53,6 +53,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("heuristicsVersion") == graft.core.Heuristics.Version))
   }
 
+  test("colocated (bucketed, zero-shuffle) mode equals the shuffle pipeline") {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    CorpusWriter.writePagesBucketed(spark, 300L, dir, buckets = 6)
+    val bucketed = spark.read.parquet(dir)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getString(0), r.getString(1), r.getLong(2),
+        java.util.Arrays.hashCode(r.getAs[Array[Byte]](3)))
+    }.toSet
+    val colocated = ExtractPipeline.run(bucketed,
+      ExtractPipeline.Config(assumeColocated = true))
+      .select("url", "status", "textBytes", "text").collect()
+    val shuffled = ExtractPipeline.run(bucketed, ExtractPipeline.Config(partitions = 5))
+      .select("url", "status", "textBytes", "text").collect()
+    assert(key(colocated) == key(shuffled))
+    assert(colocated.length == ExtractPipeline.dedupLatest(bucketed).count())
+  }
+
   test("giant documents are split out but extracted identically") {
     val spark = TestSpark.spark
     val pages = CorpusWriter.pagesDs(spark, 300L, partitions = 4)
