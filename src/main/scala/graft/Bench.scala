@@ -104,7 +104,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
     val rows = math.max(2000L, (sf * 1000000).toLong) // sf0.1 -> 100k pages
-    val bucketedPath = s"/tmp/graft-bench-pages/bucketed-$rows"
+    val bucketedPath = s"/tmp/graft-bench-pages/${graft.corpus.PagesGen.CorpusVersion}-bucketed-$rows"
 
     { // corpus setup (not timed)
       val s = localSession(32)

@@ -59,6 +59,15 @@ object Main {
         case "sweep" =>
           val removed = new SnapshotTable(args(1)).sweepOrphans()
           println(s"[graft] swept ${removed.length} orphan dirs: ${removed.mkString(", ")}")
+        case "stream" =>
+          // drain whatever is currently in the input dir, then exit;
+          // re-running resumes from the checkpoint (exactly-once sink)
+          val q = graft.streaming.StreamingExtract.start(
+            spark, args(1), args(2), args(3))
+          q.processAllAvailable()
+          q.stop()
+          val n = spark.read.parquet(args(2)).count()
+          println(s"[graft] stream drained; output now holds $n extracted rows")
         case other =>
           System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
       }
@@ -69,5 +78,6 @@ object Main {
     System.err.println(
       """usage: graft.Main gen <rows> <pagesParquet>
         |       graft.Main extract <pagesParquet> <outputRoot> [partitions]
+        |       graft.Main stream <pagesDir> <outputDir> <checkpointDir>
         |       graft.Main sweep <outputRoot>""".stripMargin)
 }

@@ -30,7 +30,7 @@ object SparkEntry {
   private def pages(spark: SparkSession, dir: String): DataFrame = {
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.01)
     val rows = math.max(200L, (sf * 100000).toLong)
-    val path = s"/tmp/graft-pages/rows-$rows"
+    val path = s"/tmp/graft-pages/${graft.corpus.PagesGen.CorpusVersion}-rows-$rows"
     CorpusWriter.ensurePages(spark, rows, path)
     spark.read.parquet(path)
   }
@@ -170,6 +170,17 @@ object SparkEntry {
       Similarity.cosineTopK(t(s, d, "embeddings"), col("vec_id") < 20, k = 5)),
     "e02_ann_lsh" -> ((s, d) =>
       Similarity.annLsh(t(s, d, "embeddings"), col("vec_id") < 20, k = 5)),
+    // ------------------------------------------------ multimodal
+    "m01_media_meta" -> ((s, d) => {
+      graft.ops.Multimodal.mediaMeta(pages(s, d)).toDF().orderBy("url")
+    }),
+    "m02_media_features" -> ((s, d) => {
+      graft.ops.Multimodal.mediaFeatures(pages(s, d)).toDF()
+        .select(col("url"), col("mediaType"), col("frames"),
+          size(col("feature")).as("dim"),
+          round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
+        .orderBy("url")
+    }),
     // ------------------------------------------------ extraction
     "x01_extract_status_counts" -> ((s, d) => {
       val out = ExtractPipeline.run(pages(s, d), ExtractPipeline.Config(partitions = 32))

@@ -38,6 +38,10 @@ object PagesGen {
 
   val Seed = 42L
 
+  /** Bump when generated content changes — cache paths embed it so stale
+    * materialized corpora are never reused. */
+  val CorpusVersion = "c2"
+
   // fixed multilingual word pools (fi / sv / en flavor for `lang` variety)
   private val WordsEn = Array(
     "the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog", "data",
@@ -155,7 +159,7 @@ object PagesGen {
         PdfGen.build(PdfGen.PdfSpec(pdfPages(r, lang, 1), encrypted = true))
       case "pdf-bad-coords" =>
         PdfGen.build(PdfGen.PdfSpec(pdfPages(r, lang, 1), badCoords = true))
-      case "media-junk" => mediaJunk(r)
+      case "media-junk" => mediaJunk(r, ((idx / 100) % 3).toInt)
       case "random-junk" => randomJunk(r)
       case "truncated" =>
         // valid PDF prefix cut before any content stream completes
@@ -258,11 +262,18 @@ object PagesGen {
       (0 until 20 + r.nextInt(25)).map(_ => sentence(r, lang))
     }
 
-  private def mediaJunk(r: Rng): Array[Byte] = {
-    val sig: Array[Byte] = r.nextInt(3) match {
+  private def mediaJunk(r: Rng, variant: Int): Array[Byte] = {
+    val sig: Array[Byte] = variant match {
       case 0 => Array[Byte](0, 0, 0, 0x20, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm') // mp4
       case 1 => "fLaC".getBytes(StandardCharsets.US_ASCII) // flac
-      case _ => Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a) // png
+      case _ => // png with a VALID IHDR chunk so header metadata is parseable
+        val w = 16 + r.nextInt(2048)
+        val h = 16 + r.nextInt(2048)
+        Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+          0, 0, 0, 13, 'I', 'H', 'D', 'R',
+          (w >>> 24).toByte, (w >>> 16).toByte, (w >>> 8).toByte, w.toByte,
+          (h >>> 24).toByte, (h >>> 16).toByte, (h >>> 8).toByte, h.toByte,
+          8, 2, 0, 0, 0)
     }
     val tail = new Array[Byte](256 + r.nextInt(256))
     var i = 0

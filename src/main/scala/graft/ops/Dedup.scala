@@ -125,11 +125,19 @@ object Dedup {
 
   /** SimHash (Charikar 2002): 64-bit signature where bit j is the sign of
     * the sum over tokens of (bit j of token hash ? +1 : -1). Docs within a
-    * small Hamming distance are near-dups. Expressed natively: per-bit
-    * weighted sums via aggregate() over the token-hash array. */
-  def simhash(textCol: Column): Column = {
+    * small Hamming distance are near-dups. Backed by the native Catalyst
+    * expression [[org.apache.spark.sql.graftexpr.SimHash64]] — one tight
+    * JVM loop per row instead of interpreted per-token-per-bit lambdas. */
+  def simhash(textCol: Column): Column =
+    org.apache.spark.sql.graftexpr.GraftExpr.simhash64(textCol)
+
+  /** Reference HOF formulation of [[simhash]] kept for cross-checking the
+    * native expression in tests (identical tokenization/hash/sign rules,
+    * expressed with built-in transform/aggregate/zip_with). */
+  def simhashHof(textCol: Column): Column = {
     val masks: Array[Long] = Array.tabulate(64)(j => 1L << j)
-    val hashes = transform(split(trim(lower(textCol)), "\\s+"), w => xxhash64(w))
+    val words = filter(split(trim(lower(textCol)), "\\s+"), w => length(w) > 0)
+    val hashes = transform(words, w => xxhash64(w))
     // single pass over tokens: per-bit +/-1 sums in a 64-long accumulator
     val sums = aggregate(hashes, array_repeat(lit(0L), 64),
       (acc, h) => zip_with(acc, lit(masks),

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.extract.Sniffer
+
+/** Multimodal columns for a training-data pipeline: image/audio/video travel
+  * as opaque `binary` columns with typed metadata extracted Spark-side.
+  *
+  * The DECODE step is STUBBED (this container has no image/audio codecs):
+  * `decodeFeaturesStub` produces a deterministic fake feature vector from
+  * the payload bytes and is clearly marked as the seam where a real decoder
+  * (or a `mapInPandas` Pandas-UDF batch in PySpark) plugs in. Everything
+  * around the stub is real and tested: schema, header parsing, the
+  * batch-shaped mapPartitions plumbing, partitioning behavior.
+  *
+  * Batch shape: payloads are processed in bounded batches of `BatchSize`
+  * inside each partition — the exact contract of `mapInPandas`/Arrow
+  * record batches (bounded memory per batch, vectorizable decode), so the
+  * stub swaps for a real batched decoder without a plan change.
+  */
+object Multimodal {
+
+  val BatchSize = 64
+
+  case class MediaMeta(
+      url: String,
+      mediaType: String, // image/png, video/mp4, audio/flac, ...
+      byteLen: Long,
+      width: Int, // -1 when not parseable / not an image
+      height: Int)
+
+  case class MediaFeature(
+      url: String,
+      mediaType: String,
+      feature: Array[Float], // stub "embedding" of the decoded payload
+      frames: Int) // frame-sample count (video) or 1
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    if (b.length < off + 4) -1
+    else ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** Real header parse: PNG IHDR width/height (bytes 16..23 after the
+    * 8-byte signature + IHDR chunk header). */
+  def pngDims(b: Array[Byte]): (Int, Int) =
+    if (b.length >= 24 && (b(12) & 0xff) == 'I' && (b(13) & 0xff) == 'H')
+      (beInt(b, 16), beInt(b, 20))
+    else (-1, -1)
+
+  /** STUB decode -> feature vector. Deterministic pure function of the
+    * payload bytes (splittable-hash expansion) standing in for a real
+    * decode+embed; swap body for the actual codec call. */
+  def decodeFeaturesStub(payload: Array[Byte], dim: Int = 16): Array[Float] = {
+    val h0 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      payload, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, payload.length, 42L)
+    Array.tabulate(dim) { i =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(h0 + i, 7L)
+      ((h >>> 11) * 1.1102230246251565e-16).toFloat * 2f - 1f
+    }
+  }
+
+  /** STUB frame sample count for video payloads: deterministic in [1, 8]. */
+  def frameCountStub(payload: Array[Byte]): Int =
+    1 + (math.abs(payload.length * 2654435761L) % 8L).toInt
+
+  /** Typed metadata for every media payload in a (url, binary) table —
+    * narrow map, no shuffle; header parse only, no decode. */
+  def mediaMeta(docs: DataFrame, urlCol: String = "url", binCol: String = "html"): Dataset[MediaMeta] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(urlCol), col(binCol)).mapPartitions { it =>
+      it.flatMap { r =>
+        val url = r.getString(0)
+        val b = r.getAs[Array[Byte]](1)
+        val mime = Sniffer.sniff(b)
+        if (mime.startsWith("image/") || mime.startsWith("video/") || mime.startsWith("audio/")) {
+          val (w, h) = if (mime == "image/png") pngDims(b) else (-1, -1)
+          Some(MediaMeta(url, mime, b.length.toLong, w, h))
+        } else None
+      }
+    }
+  }
+
+  /** Batched stub decode -> features. Processes payloads in BatchSize groups
+    * per partition (the mapInPandas batch contract). */
+  def mediaFeatures(docs: DataFrame, urlCol: String = "url", binCol: String = "html"): Dataset[MediaFeature] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(urlCol), col(binCol)).mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        // batch boundary = where a real vectorized decoder would run once
+        batch.iterator.flatMap { r =>
+          val url = r.getString(0)
+          val b = r.getAs[Array[Byte]](1)
+          val mime = Sniffer.sniff(b)
+          if (mime.startsWith("image/") || mime.startsWith("video/") || mime.startsWith("audio/")) {
+            val frames = if (mime.startsWith("video/")) frameCountStub(b) else 1
+            Some(MediaFeature(url, mime, decodeFeaturesStub(b), frames))
+          } else None
+        }
+      }
+    }
+  }
+}

@@ -25,7 +25,14 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — native Catalyst expression (one fused loop per
+    * pair; same array-order double accumulation as the HOF formulation and
+    * the DuckDB oracle, so values are bit-identical). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftexpr.GraftExpr.cosine_sim(a, b)
+
+  /** Reference HOF formulation of [[cosine]] (kept for cross-checks). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact cosine top-k: for each query vector (`queryPred` selects queries),
     * the k nearest other vectors. Brute force = one broadcast of the query

@@ -1,0 +1,122 @@
+/** Custom Catalyst expressions for graft's hot scalar paths.
+  *
+  * Lives under org.apache.spark.sql because the pieces an expression
+  * library needs — ExpressionUtils (Column <-> Expression), AbstractDataType
+  * in override positions, FunctionRegistry — are private[sql] in Spark 4.
+  * This is the standard packaging for third-party expression libraries; no
+  * Spark internals are modified, only accessed.
+  */
+package org.apache.spark.sql.graftexpr
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+object GraftExpr {
+  /** 64-bit SimHash of a string column (Charikar 2002). */
+  def simhash64(c: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
+
+  /** Sequential-order cosine similarity of two double-array columns. */
+  def cosine_sim(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Register SQL-callable names on a session. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+  }
+}
+
+/** 64-bit SimHash (Charikar, STOC 2002) of a string: whitespace-tokenized,
+  * lowercased; per-token 64-bit xxHash (seed 42, same as Spark's xxhash64);
+  * signature bit j = sign of the sum over tokens of (+-1 per token's bit j).
+  * Near-duplicate texts land within a small Hamming distance.
+  *
+  * Single tight JVM loop per row — replaces a transform+aggregate+zip_with
+  * HOF pipeline whose lambdas are interpreted per token per bit.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.of(input.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def of(text: String): Long = {
+    val s = text.toLowerCase(java.util.Locale.ROOT)
+    val sums = new Array[Int](64)
+    val len = s.length
+    var i = 0
+    while (i < len) {
+      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        val tok = UTF8String.fromString(s.substring(start, i))
+        val h = XXH64.hashUnsafeBytes(tok.getBaseObject, tok.getBaseOffset, tok.numBytes(), 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+          j += 1
+        }
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (sums(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** Cosine similarity of two double arrays, accumulated in double in array
+  * order — the exact summation order the DuckDB oracle and the HOF
+  * formulation use, so results are bit-identical across engines. */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i)
+      val yv = y.getDouble(i)
+      dot += xv * yv
+      nx += xv * xv
+      ny += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}

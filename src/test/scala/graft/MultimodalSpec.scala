@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.CorpusWriter
+import graft.ops.Multimodal
+
+/** Multimodal plumbing: typed metadata over opaque binary columns, real PNG
+  * header parsing, deterministic stub decode in mapInPandas-style batches. */
+class MultimodalSpec extends AnyFunSuite {
+
+  test("media metadata: types detected, PNG dims parsed from real headers") {
+    val spark = TestSpark.spark
+    val pages = CorpusWriter.pagesDs(spark, 500L, partitions = 4)
+    val meta = Multimodal.mediaMeta(pages).collect()
+    assert(meta.nonEmpty)
+    val types = meta.map(_.mediaType).toSet
+    assert(types.contains("video/mp4") && types.contains("audio/flac") &&
+      types.contains("image/png"))
+    val pngs = meta.filter(_.mediaType == "image/png")
+    assert(pngs.nonEmpty)
+    pngs.foreach { m =>
+      assert(m.width >= 16 && m.width < 16 + 2048, s"width ${m.width}")
+      assert(m.height >= 16 && m.height < 16 + 2048, s"height ${m.height}")
+    }
+    // non-media payloads excluded
+    assert(meta.forall(m => !m.mediaType.startsWith("text/")))
+  }
+
+  test("stub decode: deterministic features, fixed dim, video frame samples") {
+    val spark = TestSpark.spark
+    val pages = CorpusWriter.pagesDs(spark, 500L, partitions = 4)
+    val a = Multimodal.mediaFeatures(pages).collect().map(f =>
+      f.url -> (f.feature.toVector, f.frames)).toMap
+    val b = Multimodal.mediaFeatures(pages).collect().map(f =>
+      f.url -> (f.feature.toVector, f.frames)).toMap
+    assert(a == b, "stub decode must be deterministic")
+    assert(a.nonEmpty)
+    a.values.foreach { case (vec, frames) =>
+      assert(vec.length == 16)
+      assert(vec.forall(v => v >= -1f && v <= 1f))
+      assert(frames >= 1 && frames <= 8)
+    }
+  }
+}

@@ -72,6 +72,28 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native SimHash64 expression matches the HOF reference formulation") {
+    val both = docs.select(
+      Dedup.simhash(col("text")).as("native"),
+      Dedup.simhashHof(col("text")).as("hof")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("native CosineSim expression matches the HOF reference bit-for-bit") {
+    import org.apache.spark.sql.functions.transform
+    val d = emb.select(
+      transform(col("embedding"), x => x.cast("double")).as("v1"),
+      org.apache.spark.sql.functions.reverse(
+        transform(col("embedding"), x => x.cast("double"))).as("v2"))
+    val both = d.select(
+      graft.ops.Similarity.cosine(col("v1"), col("v2")).as("native"),
+      graft.ops.Similarity.cosineHof(col("v1"), col("v2")).as("hof")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), s"$r")
+    }
+  }
+
   test("token stats and quality are deterministic and sane") {
     val ts = TextStats.tokenStats(docs).collect()
     assert(ts.forall(r => r.getInt(1) > 0 && r.getInt(3) > 0))

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.corpus.CorpusWriter
+import graft.streaming.StreamingExtract
+
+/** Structured Streaming extraction: micro-batch processing, exactly-once
+  * resume from checkpoint, watermarked url dedup. */
+class StreamingSpec extends AnyFunSuite {
+
+  test("file-stream extraction processes batches incrementally with dedup state") {
+    val spark = TestSpark.spark
+    val in = Files.createTempDirectory("graft-stream-in").toString
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+
+    // batch 1: rows 0..99 (one parquet file)
+    CorpusWriter.pagesDs(spark, 100L, partitions = 1)
+      .write.mode("append").parquet(in)
+
+    val q1 = StreamingExtract.start(spark, in, out, ckpt)
+    q1.processAllAvailable()
+    q1.stop()
+    val after1 = spark.read.parquet(out)
+    val urls1 = after1.select("url").distinct().count()
+    assert(after1.count() == urls1, "stream dedup: one row per url")
+    assert(urls1 > 90)
+
+    // batch 2: rows 0..199 re-written — first 100 urls are duplicates and
+    // must be dropped by the state store after restart from checkpoint
+    CorpusWriter.pagesDs(spark, 200L, partitions = 1)
+      .write.mode("append").parquet(in)
+    val q2 = StreamingExtract.start(spark, in, out, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val result = spark.read.parquet(out)
+    val expectedUrls = (0L until 200L).map(graft.corpus.PagesGen.url).distinct.size
+    assert(result.select("url").distinct().count() == expectedUrls)
+    assert(result.count() == expectedUrls,
+      "duplicate urls across batches must be dropped by checkpointed state")
+    assert(result.where(col("status") === "finished").count() > 0)
+  }
+
+  test("windowed status counts run as a streaming aggregation") {
+    val spark = TestSpark.spark
+    val in = Files.createTempDirectory("graft-stream-in2").toString
+    CorpusWriter.pagesDs(spark, 100L, partitions = 1)
+      .write.mode("append").parquet(in)
+    val agg = StreamingExtract.windowedStatusCounts(spark, in)
+    val q = agg.writeStream.format("memory").queryName("graft_counts")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("select * from graft_counts").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("docs")).sum == 100L)
+  }
+}
