@@ -1,0 +1,28 @@
+package graft.tools
+import graft.corpus.CorpusWriter
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+/** Plan-inspection tool: prints the physical plans of the flagship queries
+  * so pushdown / broadcast / aggregate shapes can be reviewed (PLANS.md is
+  * generated from this output). Run: sbt "runMain graft.tools.ExplainPlans" */
+object ExplainPlans {
+  def main(args: Array[String]): Unit = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    def p(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"########## $name")
+      println(df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode).take(2800))
+    }
+    // pushdown check: filter + projection on lineitem
+    p("pushdown", s.read.parquet(s"$d/lineitem.parquet")
+      .filter(col("l_shipdate") < "1996-01-01").select("l_orderkey","l_quantity"))
+    p("q02_topk", graft.SparkEntry.queries("q02_topk_revenue")(s, d))
+    p("q03_rollup_broadcast", graft.SparkEntry.queries("q03_region_rollup")(s, d))
+    val pages = CorpusWriter.pagesDs(s, 100, 2)
+    p("extract_full", graft.pipeline.ExtractPipeline.run(pages).toDF())
+    p("d05_minhash", graft.SparkEntry.queries("d05_minhash_pairs")(s, d))
+    s.stop()
+  }
+}
