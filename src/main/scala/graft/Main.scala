@@ -59,6 +59,9 @@ object Main {
         case "sweep" =>
           val removed = new SnapshotTable(args(1)).sweepOrphans()
           println(s"[graft] swept ${removed.length} orphan dirs: ${removed.mkString(", ")}")
+        case "compact" =>
+          val id = new SnapshotTable(args(1)).compact(spark)
+          println(s"[graft] compacted chain into base snapshot $id")
         case "stream" =>
           // drain whatever is currently in the input dir, then exit;
           // re-running resumes from the checkpoint (exactly-once sink)
@@ -79,5 +82,6 @@ object Main {
       """usage: graft.Main gen <rows> <pagesParquet>
         |       graft.Main extract <pagesParquet> <outputRoot> [partitions]
         |       graft.Main stream <pagesDir> <outputDir> <checkpointDir>
-        |       graft.Main sweep <outputRoot>""".stripMargin)
+        |       graft.Main sweep <outputRoot>
+        |       graft.Main compact <outputRoot>""".stripMargin)
 }

@@ -170,6 +170,8 @@ object SparkEntry {
       Similarity.cosineTopK(t(s, d, "embeddings"), col("vec_id") < 20, k = 5)),
     "e02_ann_lsh" -> ((s, d) =>
       Similarity.annLsh(t(s, d, "embeddings"), col("vec_id") < 20, k = 5)),
+    "e03_embedding_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(t(s, d, "embeddings"), threshold = 0.45)),
     // ------------------------------------------------ multimodal
     "m01_media_meta" -> ((s, d) => {
       graft.ops.Multimodal.mediaMeta(pages(s, d)).toDF().orderBy("url")
@@ -324,5 +326,12 @@ object SparkEntry {
         | FROM scored)
         |SELECT qid AS query_id, rank, nid AS neighbor_id, cos
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "e03_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT x.vec_id AS a, y.vec_id AS b,
+        | ROUND(list_cosine_similarity(x.v, y.v), 4) AS cos
+        |FROM e x JOIN e y ON x.vec_id < y.vec_id
+        |WHERE ROUND(list_cosine_similarity(x.v, y.v), 4) >= 0.45
+        |ORDER BY a, b""".stripMargin,
   )
 }

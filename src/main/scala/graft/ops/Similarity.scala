@@ -58,6 +58,23 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs (the embedding flavor of the
+    * dedup family): all pairs above `threshold`, brute force — the exact
+    * small-scale oracle. The scale path replaces the pair join with the
+    * LSH bucket join of [[annLsh]] (same verify step on candidates). */
+  def cosineNearDupPairs(
+      emb: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    v.as("x").join(v.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        round(cosine(col("x.v"), col("y.v")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+      .orderBy("a", "b")
+  }
+
   /** Deterministic random hyperplanes for sign-LSH (seeded; fixed across
     * runs and engines). */
   def hyperplanes(bits: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {

@@ -104,6 +104,33 @@ final class SnapshotTable(val root: String) {
     else Some(spark.read.parquet(dirs: _*))
   }
 
+  /** Compact the snapshot chain: rewrite the table as-of CURRENT into one
+    * fresh base snapshot, point CURRENT at it, and sweep the old chain's
+    * data+manifests. This is the retention/expiry maintenance action (the
+    * reference's TTL cleaner analog, docsbox/cleaner/__init__.py:10-37,
+    * RESULT_FILE_TTL config.yml:8): history older than the compacted base
+    * is gone; readers always see a consistent CURRENT (the swap is the
+    * same atomic rename as a commit). Returns the new snapshot id. */
+  def compact(spark: SparkSession, meta: Map[String, String] = Map.empty): Long = {
+    val current = read(spark).getOrElse(
+      throw new IllegalStateException("nothing committed; cannot compact"))
+    val oldChain = snapshotChain
+    val id = oldChain.head + 1
+    val dir = dataDir(id)
+    current.write.mode("overwrite").parquet(dir.toString)
+    val files = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+    val rows = spark.read.parquet(dir.toString).count()
+    writeManifest(Manifest(id, -1L, files, rows, meta)) // -1: new base, no parent
+    val tmp = Paths.get(root, ".CURRENT.tmp")
+    Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    oldChain.foreach(old => Files.deleteIfExists(manifestPath(old)))
+    sweepOrphans()
+    id
+  }
+
   /** Delete data dirs not referenced by any manifest in the CURRENT chain —
     * debris of crashed commits (cleaner analog). Returns dirs removed. */
   def sweepOrphans(): Seq[String] = {

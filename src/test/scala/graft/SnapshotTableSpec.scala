@@ -73,6 +73,43 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(Files.exists(java.nio.file.Paths.get(root, "_counters", "snap-1")))
   }
 
+  test("compact folds the chain into one base snapshot; history expires") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = new SnapshotTable(tmpDir())
+    t.commit(Seq(("a", 1L), ("b", 2L)).toDF("url", "v"))
+    t.commit(Seq(("c", 3L)).toDF("url", "v"))
+    t.commit(Seq(("d", 4L)).toDF("url", "v"))
+    assert(t.snapshotChain.length == 3)
+    val id = t.compact(spark)
+    assert(t.snapshotChain == Seq(id), "single base snapshot after compact")
+    val rows = t.read(spark).get.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)))
+    // old data dirs are gone
+    val dataDirs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(t.root, "data")).count()
+    assert(dataDirs == 1)
+    // appends continue from the compacted base
+    t.commit(Seq(("e", 5L)).toDF("url", "v"))
+    assert(t.read(spark).get.count() == 5)
+  }
+
+  test("binaryFile ingest produces pages-shaped rows the pipeline accepts") {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-raw")
+    java.nio.file.Files.write(dir.resolve("a.html"),
+      "<html><body><p>Ingested raw file with enough words to pass the classifier thresholds easily here.</p></body></html>".getBytes)
+    java.nio.file.Files.write(dir.resolve("b.bin"), Array[Byte](0, 1, 2, 3))
+    val pages = graft.sources.Ingest.fromBinaryFiles(spark, dir.toString)
+    assert(pages.columns.toSeq ==
+      Seq("url", "warc_ts", "html", "text", "lang"))
+    val out = ExtractPipeline.run(pages, ExtractPipeline.Config(partitions = 2))
+      .collect().map(e => e.url.split("/").last -> e.status).toMap
+    assert(out("a.html") == "finished")
+    assert(out("b.bin") == "corrupted")
+  }
+
   test("sweepOrphans removes data dirs with no manifest (crashed commit)") {
     val spark = TestSpark.spark
     import spark.implicits._
