@@ -196,6 +196,19 @@ object SparkEntry {
         size(col("spans")).as("n_spans"), xxhash64(col("text")).as("text_hash"))
         .orderBy("url")
     }),
+    "x04_span_kinds" -> ((s, d) => {
+      // fan-out + regroup (thumbnail fan-out analog, tasks.py:186-201):
+      // explode the per-doc span array, aggregate per kind, collect samples
+      val out = ExtractPipeline.run(pages(s, d), ExtractPipeline.Config(partitions = 32))
+      out.select(col("url"), explode(col("spans")).as("span"))
+        .select(col("url"), col("span.kind").as("kind"),
+          (col("span.end") - col("span.start")).as("len"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("len")).as("bytes"),
+          slice(sort_array(collect_list(col("url"))), 1, 3).as("sample_urls"))
+        .orderBy("kind")
+    }),
     "x03_pages_dedup" -> ((s, d) => {
       val p = pages(s, d)
       val deduped = ExtractPipeline.dedupLatest(p)

@@ -145,7 +145,11 @@ object ExtractPipeline {
   private def planInput(pages: DataFrame, cfg: Config, done: Option[DataFrame]): Dataset[RawDoc] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val narrow = pages.select(col("url"), col("warc_ts"), col("html"))
+    // input validation at the scan (uuid-check analog, utils.py:263-264):
+    // a null/empty url cannot be keyed, joined, or golden-compared
+    val narrow = pages
+      .where(col("url").isNotNull && length(col("url")) > 0)
+      .select(col("url"), col("warc_ts"), col("html"))
 
     def minusDone(df: DataFrame): DataFrame = done match {
       case Some(d) => df.join(d.select(col("url")).distinct(), Seq("url"), "left_anti")
