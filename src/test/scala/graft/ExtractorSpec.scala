@@ -156,6 +156,22 @@ class ExtractorSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded work: pathological inputs finish fast (timeout analog)") {
+    // 4 MB of tag spam / nesting / entity runs — must stay under the caps
+    // (HtmlParser.MaxNodes/MaxDepth) and return promptly (600 s job-timeout
+    // analog, config/config.yml:7 — here budgeted at 10 s per doc)
+    val spam = ("<div class=x>" * 300000).getBytes(StandardCharsets.UTF_8)
+    val nest = ("<p>" + ("<b>" * 200000) + "deep").getBytes(StandardCharsets.UTF_8)
+    val amps = ("<p>" + ("&x" * 1000000)).getBytes(StandardCharsets.UTF_8)
+    Seq("spam" -> spam, "nest" -> nest, "amps" -> amps).foreach { case (n, b) =>
+      val t0 = System.nanoTime()
+      val e = Extractor.extract(n, b)
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(e.status != null)
+      assert(sec < 10.0, s"$n took $sec s")
+    }
+  }
+
   test("span offsets are in bounds and ordered for all finished rows") {
     (0L until 300L).foreach { i =>
       val p = PagesGen.page(i)
