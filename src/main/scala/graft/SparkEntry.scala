@@ -313,6 +313,25 @@ object SparkEntry {
         | ROUND(dr, 4) AS digit_ratio,
         | ROUND(0.5 * sr + 0.3 * (1.0 - pr) + 0.2 * LEAST(1.0, CAST(nt AS DOUBLE) / 100.0), 4) AS quality_score
         |FROM r ORDER BY doc_id""".stripMargin,
+    "d04_lang_id" ->
+      """WITH s AS (
+        | SELECT doc_id, lang,
+        |  list_distinct(string_split_regex(trim(lower(text)), ' +')) AS w
+        | FROM documents),
+        |sc AS (
+        | SELECT doc_id, lang,
+        |  len(list_intersect(w, ['the','a','of','and','to','in','is','on','for','with','as','by','at','or','be','this','that','it','an'])) AS se,
+        |  len(list_intersect(w, ['der','die','das','und','ist','ein','eine','zu','mit','auf','für','von','im','den','nicht'])) AS sd,
+        |  len(list_intersect(w, ['el','la','los','las','de','y','es','en','un','una','que','por','con','para','del'])) AS ss,
+        |  len(list_intersect(w, ['le','la','les','de','et','est','un','une','que','pour','dans','du','des','au','pas'])) AS sf
+        | FROM s)
+        |SELECT doc_id, lang AS lang_tag,
+        | CASE WHEN greatest(se, sd, ss, sf) = 0 THEN 'und'
+        |      WHEN sd >= se AND sd >= ss AND sd >= sf THEN 'de'
+        |      WHEN se >= ss AND se >= sf THEN 'en'
+        |      WHEN ss >= sf THEN 'es'
+        |      ELSE 'fr' END AS lang_guess
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "d06_jaccard_pairs" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),

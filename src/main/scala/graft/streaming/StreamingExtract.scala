@@ -72,6 +72,58 @@ object StreamingExtract {
       .start()
   }
 
+  /** Per-host crawl-session state (custom keyed state via
+    * mapGroupsWithState): tracks, per url host, a running doc count, byte
+    * total, and last-seen event time; a processing-time timeout closes idle
+    * hosts and emits their final summary. The streaming analog of the
+    * reference's per-worker bookkeeping (log_task_completion,
+    * docsbox/docs/tasks.py:203-220) with bounded keyed state. */
+  case class HostState(docs: Long, bytes: Long, lastTs: Long)
+  case class HostUpdate(host: String, docs: Long, bytes: Long, closed: Boolean)
+
+  def hostStats(pages: DataFrame, idleTimeout: Option[String] = None)
+      : org.apache.spark.sql.Dataset[HostUpdate] = {
+    import pages.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val byHost = pages
+      .select(col("url"), col("warc_ts"), length(col("html")).cast("long").as("sz"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey { case (url, _, _) =>
+        val i = url.indexOf("//")
+        val rest = if (i >= 0) url.substring(i + 2) else url
+        val j = rest.indexOf('/')
+        if (j >= 0) rest.substring(0, j) else rest
+      }
+    // NB: a processing-time timeout keeps the query triggering even with no
+    // new input (that is its point: closing idle hosts) — so drain-style
+    // callers (processAllAvailable) should pass None
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    byHost.mapGroupsWithState(timeoutConf) {
+      (host: String, rows: Iterator[(String, java.sql.Timestamp, Long)],
+       state: GroupState[HostState]) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          HostUpdate(host, s.docs, s.bytes, closed = true)
+        } else {
+          var docs = 0L
+          var bytes = 0L
+          var last = 0L
+          rows.foreach { case (_, ts, sz) =>
+            docs += 1; bytes += sz; last = math.max(last, ts.getTime)
+          }
+          val prev = state.getOption.getOrElse(HostState(0L, 0L, 0L))
+          val next = HostState(prev.docs + docs, prev.bytes + bytes,
+            math.max(prev.lastTs, last))
+          state.update(next)
+          idleTimeout.foreach(state.setTimeoutDuration)
+          HostUpdate(host, next.docs, next.bytes, closed = false)
+        }
+    }
+  }
+
   /** Event-time status counts per window — the live-counters surface
     * (status-view analog, views.py:28-60): watermarked tumbling window so
     * late pages beyond the watermark are dropped and state stays bounded. */

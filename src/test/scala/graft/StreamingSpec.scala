@@ -46,6 +46,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.where(col("status") === "finished").count() > 0)
   }
 
+  test("mapGroupsWithState: per-host running state accumulates across batches") {
+    val spark = TestSpark.spark
+    val in = Files.createTempDirectory("graft-stream-in3").toString
+    CorpusWriter.pagesDs(spark, 70L, partitions = 1).write.mode("append").parquet(in)
+    val stats = StreamingExtract.hostStats(StreamingExtract.pagesStream(spark, in))
+    val q = stats.writeStream.format("memory").queryName("graft_hosts")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    // second batch: counts must ACCUMULATE in state, not reset
+    CorpusWriter.pagesDs(spark, 140L, partitions = 1).write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "select host, max(docs) docs from graft_hosts group by host").collect()
+    assert(rows.nonEmpty)
+    // 70 + 140 rows over 7 hosts -> 30 docs per host after both batches
+    assert(rows.map(_.getAs[Long]("docs")).sum == 210L)
+    assert(rows.forall(_.getAs[String]("host").startsWith("example-")))
+  }
+
   test("windowed status counts run as a streaming aggregation") {
     val spark = TestSpark.spark
     val in = Files.createTempDirectory("graft-stream-in2").toString
