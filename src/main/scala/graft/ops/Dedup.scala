@@ -102,25 +102,41 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** Near-dup clusters from verified pairs: every doc maps to the smallest
-    * doc id reachable in its pair-neighborhood, iterated to a fixpoint
-    * (min-label propagation — bounded iterations; near-dup clusters are
-    * tiny so 3 rounds reaches the fixpoint in practice; each round is one
-    * shuffle). Returns (doc_id, cluster_id). */
+  /** Near-dup clusters from verified pairs: min-label propagation over the
+    * pair graph to a FIXPOINT (connected components). Each round is one
+    * shuffle; convergence is checked with a cheap changed-count action and
+    * the loop is capped at `maxRounds` (label-propagation converges in
+    * O(graph diameter) rounds; near-dup components are shallow, so 2-3
+    * rounds typical — the cap is a runaway guard, and hitting it raises
+    * rather than silently returning partial clusters).
+    * Returns (doc_id, cluster_id). */
   def clusters(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
-      rounds: Int = 3): DataFrame = {
+      maxRounds: Int = 10): DataFrame = {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster"))
-    var i = 0
-    while (i < rounds) {
-      val neighborMin = edges.join(labels, edges("b") === labels("id"))
-        .groupBy(edges("a").as("id2")).agg(min(col("cluster")).as("nmin"))
-      labels = labels.join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"), least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-      i += 1
-    }
-    labels.select(col("id").as(idCol), col("cluster").as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxRounds) {
+        val neighborMin = edges.join(labels, edges("b") === labels("id"))
+          .groupBy(edges("a").as("id2")).agg(min(col("cluster")).as("nmin"))
+        val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val changed = next.as("n").join(labels.as("p"), col("n.id") === col("p.id"))
+          .where(col("n.cluster") =!= col("p.cluster")).limit(1).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        i += 1
+      }
+      require(converged, s"label propagation did not converge in $maxRounds rounds")
+      labels.select(col("id").as(idCol), col("cluster").as("cluster_id"))
+    } finally edges.unpersist()
   }
 
   /** SimHash (Charikar 2002): 64-bit signature where bit j is the sign of

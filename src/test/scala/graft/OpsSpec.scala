@@ -22,6 +22,17 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh == brute, s"missing=${brute -- lsh} extra=${lsh -- brute}")
   }
 
+  test("dedup clusters: chains converge to one component (fixpoint)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // a 6-node chain: 5-4, 4-3, 3-2, 2-1, 1-0 — needs >1 propagation round
+    val ids = (0L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val cl = Dedup.clusters(ids, chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.values.toSet == Set(0L), s"all chain members -> cluster 0: $cl")
+  }
+
   test("dedup clusters: pair members share a cluster; singletons self-map") {
     val pairs = Dedup.minhashPairs(docs, threshold = 0.8)
     val cl = Dedup.clusters(docs, pairs)

@@ -71,6 +71,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(colocated.length == ExtractPipeline.dedupLatest(bucketed).count())
   }
 
+  test("driver contract: entry() returns rows; every query has a function") {
+    val spark = TestSpark.spark
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every oracle key must have a matching query
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet -- qs
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
   test("giant documents are split out but extracted identically") {
     val spark = TestSpark.spark
     val pages = CorpusWriter.pagesDs(spark, 300L, partitions = 4)
