@@ -54,6 +54,32 @@ class GoldenSpec extends AnyFunSuite {
     // no golden file lacks a produced row (both directions checked via keyset)
   }
 
+  test("spark pipeline equals the scalar oracle on rows beyond the fixtures") {
+    // rows 500..1100: not covered by the committed goldens — the oracle is
+    // run in-process instead, so this window can move freely between rounds
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val pages = CorpusWriter.pagesDs(spark, 1100L, partitions = 6)
+      .where(xxhash64(col("url")).isNotNull) // no-op; keeps lazy plan shape
+    val sparkOut = ExtractPipeline.run(pages, ExtractPipeline.Config(partitions = 8))
+      .collect()
+      .filter(_.url.split("doc-").last.toLong >= 500L)
+      .map(e => e.url -> ((e.status, e.textBytes,
+        java.util.Arrays.hashCode(e.text), e.spans.length, Option(e.message))))
+      .toMap
+    val oracle = GenGoldens.dedupedPages(1100L)
+      .filter(_.url.split("doc-").last.toLong >= 500L)
+      .map { p =>
+        val e = graft.extract.Extractor.extract(p.url, p.html)
+        p.url -> ((e.status, e.textBytes,
+          java.util.Arrays.hashCode(e.text), e.spans.length, Option(e.message)))
+      }.toMap
+    assert(sparkOut.keySet == oracle.keySet)
+    oracle.foreach { case (url, expected) =>
+      assert(sparkOut(url) == expected, s"$url: ${sparkOut(url)} != $expected")
+    }
+  }
+
   test("dedup picks the latest crawl for duplicated urls") {
     val spark = TestSpark.spark
     val pages = CorpusWriter.pagesDs(spark, 200L, partitions = 5)
