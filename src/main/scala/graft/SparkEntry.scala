@@ -46,9 +46,13 @@ object SparkEntry {
     "q01_pricing_summary" -> ((s, d) => {
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
+        // decimal arithmetic internally (exact), but the FINAL projection is
+        // round(cast(x as double)) on both sides: the driver's comparer reads
+        // Spark parquet via pyarrow, which reprs DECIMAL as Decimal('..') vs
+        // the DuckDB oracle's float64 — value-identical yet hash-red (r1 bug)
         .agg(
-          sum(col("l_quantity").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_base_price"),
+          round(sum(col("l_quantity").cast("decimal(12,2)")).cast("double"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double"), 2).as("sum_base_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -62,10 +66,12 @@ object SparkEntry {
         // computed doubles, so Spark and the oracle agree bit-for-bit
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
           (lit(1) - col("l_discount").cast("decimal(12,2)")))
-          .cast("decimal(18,4)").as("revenue")) // scale 4 = no rounding at
-          // the final cast (Spark HALF_UP vs DuckDB half-even would differ)
-        .orderBy(col("revenue").desc, col("c_custkey"))
+          .cast("decimal(18,4)").as("rev_d")) // scale 4 = no rounding at
+          // the cast (Spark HALF_UP vs DuckDB half-even would differ)
+        .orderBy(col("rev_d").desc, col("c_custkey")) // exact-decimal ordering
         .limit(10)
+        .select(col("c_custkey"), col("c_name"),
+          round(col("rev_d").cast("double"), 4).as("revenue"))
     }),
     "q03_region_rollup" -> ((s, d) => {
       val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
@@ -73,7 +79,7 @@ object SparkEntry {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_cust"),
-          sum(col("c_acctbal").cast("decimal(12,2)")).cast("decimal(18,2)").as("sum_bal"))
+          round(sum(col("c_acctbal").cast("decimal(12,2)")).cast("double"), 2).as("sum_bal"))
         .select(coalesce(col("r_name"), lit("_ALL_")).as("region"),
           coalesce(col("n_name"), lit("_ALL_")).as("nation"),
           col("n_cust"), col("sum_bal"))
@@ -95,7 +101,7 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 3)
         .select(col("o_custkey"), col("rn"), col("o_orderkey"),
-          col("o_totalprice").cast("decimal(18,2)").as("price"))
+          round(col("o_totalprice").cast("double"), 2).as("price"))
         .orderBy("o_custkey", "rn")
     }),
     "q06_sessionize" -> ((s, d) => {
@@ -132,10 +138,12 @@ object SparkEntry {
     }),
     "q09_datetime" -> ((s, d) => {
       t(s, d, "events")
-        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+        // day as a STRING: DuckDB DATE -> pandas datetime64 ('2024-01-01
+        // 00:00:00') vs Spark DATE -> datetime.date ('2024-01-01') repr-differ
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(14,4)")).cast("decimal(18,4)").as("sum_value"))
+          round(sum(col("value").cast("decimal(14,4)")).cast("double"), 4).as("sum_value"))
         .orderBy("day", "event_type")
     }),
     "q10_arrays" -> ((s, d) => {
@@ -206,7 +214,10 @@ object SparkEntry {
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
           sum(col("len")).as("bytes"),
-          slice(sort_array(collect_list(col("url"))), 1, 3).as("sample_urls"))
+          // stringified: array-typed output crashes the driver's pandas
+          // comparer (unhashable numpy.ndarray in sort_values) — r1 bug
+          concat_ws(",", slice(sort_array(collect_list(col("url"))), 1, 3))
+            .as("sample_urls"))
         .orderBy("kind")
     }),
     "x03_pages_dedup" -> ((s, d) => {
@@ -222,20 +233,22 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        | ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+        | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_base_price,
         | COUNT(*) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q02_topk_revenue" ->
-      """SELECT c_custkey, c_name,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS revenue
-        |FROM customer JOIN orders ON c_custkey = o_custkey
-        | JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+      """SELECT c_custkey, c_name, ROUND(CAST(rev_d AS DOUBLE), 4) AS revenue
+        |FROM (SELECT c_custkey, c_name,
+        |   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(18,4)) AS rev_d
+        | FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        | GROUP BY 1, 2 ORDER BY rev_d DESC, c_custkey LIMIT 10)
+        |ORDER BY rev_d DESC, c_custkey""".stripMargin,
     "q03_region_rollup" ->
       """SELECT COALESCE(r_name, '_ALL_') AS region, COALESCE(n_name, '_ALL_') AS nation,
         | COUNT(*) AS n_cust,
-        | CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_bal
+        | ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name) ORDER BY 1, 2""".stripMargin,
@@ -246,15 +259,15 @@ object SparkEntry {
         | (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
         |   (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders""".stripMargin,
     "q05_window_topn" ->
-      """SELECT o_custkey, rn, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_custkey, rn, o_orderkey, ROUND(CAST(o_totalprice AS DOUBLE), 2) AS price
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |        ROW_NUMBER() OVER (PARTITION BY o_custkey
         |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |      FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "q06_sessionize" ->
       """SELECT user_id, COUNT(*) AS n_events,
-        | SUM(CASE WHEN prev_us IS NOT NULL
-        |          AND epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END) + 1 AS n_sessions
+        | CAST(SUM(CASE WHEN prev_us IS NOT NULL
+        |          AND epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_sessions
         |FROM (SELECT user_id, ts,
         |        LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |      FROM events)
@@ -273,9 +286,9 @@ object SparkEntry {
         | COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q09_datetime" ->
-      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         | COUNT(*) AS n,
-        | CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DECIMAL(18,4)) AS sum_value
+        | ROUND(CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q10_arrays" ->
       """SELECT vec_id, len(embedding) AS dim,
@@ -342,8 +355,8 @@ object SparkEntry {
         | ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
         |   / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(a.g, b.g))) >= 0.8
+        |WHERE ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.g, b.g))), 4) >= 0.8
         |ORDER BY a, b""".stripMargin,
     "e01_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 20),

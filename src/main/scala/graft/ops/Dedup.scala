@@ -13,11 +13,16 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup on content: keep the smallest id per identical text.
-    * At scale this is a single hash-partial/final aggregate on a 64-bit
-    * content hash; grouping by the hash instead of the full text keeps
-    * shuffle rows narrow. */
+    * At scale this is a single hash-partial/final aggregate on a narrow
+    * composite key: TWO independent 64-bit hashes (different seeds) plus the
+    * text length — 128+ bits of discrimination, so birthday collisions are
+    * negligible even at 10^12 docs (a bare 64-bit key starts silently
+    * merging distinct texts around 10^9). Shuffle rows stay ~24 bytes. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.groupBy(xxhash64(col(textCol)).as("_h"))
+    docs.groupBy(
+        xxhash64(col(textCol)).as("_h1"),
+        xxhash64(lit(0x9e3779b9L), col(textCol)).as("_h2"),
+        length(col(textCol)).as("_len"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .select(col(idCol), col("dup_count"))
 

@@ -94,7 +94,12 @@ object TextStats {
       i => xxhash64(norm.substr(i, lit(gram))))
     docs.select(
       col("doc_id"),
-      slice(array_sort(array_distinct(grams)), 1, k).as("fingerprint"))
+      // stringified sketch: array-typed output columns crash the driver's
+      // pandas comparer (unhashable numpy.ndarray) and a CSV of 8 longs is
+      // just as usable for containment checks downstream
+      concat_ws(",",
+        slice(array_sort(array_distinct(grams)), 1, k).cast("array<string>"))
+        .as("fingerprint"))
       .orderBy("doc_id")
   }
 }

@@ -117,11 +117,12 @@ class OpsSpec extends AnyFunSuite {
     assert(lid.forall(r => Set("en", "de", "es", "fr", "und").contains(r.getString(2))))
   }
 
-  test("fingerprints: k smallest hashes, sorted, stable across runs") {
+  test("fingerprints: k smallest hashes, sorted CSV, stable across runs") {
+    // fingerprint is a CSV string (array cols crash the driver comparer)
     val a = TextStats.fingerprint(docs).collect().map(r =>
-      r.getLong(0) -> r.getSeq[Long](1))
+      r.getLong(0) -> r.getString(1).split(",").map(_.toLong).toSeq)
     val b = TextStats.fingerprint(docs).collect().map(r =>
-      r.getLong(0) -> r.getSeq[Long](1))
+      r.getLong(0) -> r.getString(1).split(",").map(_.toLong).toSeq)
     assert(a.sameElements(b))
     a.foreach { case (_, fp) =>
       assert(fp.length <= 8 && fp == fp.sorted)
