@@ -24,12 +24,22 @@ object GenGoldens {
     d.map(b => f"$b%02x").mkString
   }
 
-  /** Deduped corpus: last write wins per url (warc_ts desc), mirroring
-    * ExtractPipeline.dedupLatest but in plain Scala. */
+  /** Deduped corpus: last write wins per url, mirroring
+    * ExtractPipeline.dedupLatest but in plain Scala — INCLUDING the
+    * tie-break: (warc_ts, xxhash64(html)) descending with the pipeline's
+    * exact hash, so the winner is identical by construction even if a
+    * future corpus produces equal timestamps for one url. */
   def dedupedPages(n: Long): Seq[Page] =
     (0L until n).map(PagesGen.page)
       .groupBy(_.url)
-      .map { case (_, rows) => rows.maxBy(_.warc_ts.getTime) }
+      .map { case (_, rows) =>
+        rows.maxBy { p =>
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            p.html, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            p.html.length, 42L)
+          (p.warc_ts.getTime, h)
+        }
+      }
       .toSeq.sortBy(_.url)
 
   def main(args: Array[String]): Unit = {

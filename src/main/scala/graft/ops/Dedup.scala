@@ -37,8 +37,17 @@ object Dedup {
 
   /** MinHash signature: k independent permutations approximated by
     * xxhash64(i, shingle); signature[i] = min over shingles.
-    * (Broder, "On the resemblance and containment of documents", 1997.) */
+    * (Broder, "On the resemblance and containment of documents", 1997.)
+    * Backed by the native one-pass [[org.apache.spark.sql.graftexpr.MinHashSig]]
+    * expression — one tight loop per row instead of k interpreted
+    * transform+array_min HOF pipelines (the round-1 d05 hot spot). */
   def minhashSignature(sh: Column, k: Int): Column =
+    org.apache.spark.sql.graftexpr.GraftExpr.minhash_sig(sh, k)
+
+  /** Reference HOF formulation of [[minhashSignature]], kept for
+    * cross-checking the native expression in tests (bit-identical
+    * per-permutation hashes: xxhash64(lit(i), s)). */
+  def minhashSignatureHof(sh: Column, k: Int): Column =
     array((0 until k).map(i =>
       array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
 
@@ -171,10 +180,46 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within `maxHamming`, using 4-segment blocking
-    * (pigeonhole: distance <= 3 over 64 bits => at least one identical
-    * 16-bit segment) so the join is on segment equality, not a cross join. */
+  /** SimHash near-dup pairs within `maxHamming`, using Manku-style
+    * multi-table blocking (Manku/Jain/Das Sarma, "Detecting near-duplicates
+    * for web crawling", WWW 2007): split the 64-bit signature into
+    * B = maxHamming + 3 blocks; by pigeonhole, two signatures within
+    * Hamming distance d agree exactly on at least B - d blocks, so one
+    * table per (B - d)-subset of blocks — keyed by the concatenated block
+    * values — catches every qualifying pair. For d = 3 that is C(6,3) = 20
+    * tables with ~32-bit keys: expected candidates ~ 20 * N^2 / 2^32,
+    * versus N^2 / 2^16 for naive 4x16-bit segment blocking — the difference
+    * between feasible and quadratic at 10^9 docs. The join key is a single
+    * long (xxhash64 of tableId + block values); false key-collisions are
+    * removed by the exact Hamming verify. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 8, s"maxHamming out of range: $maxHamming")
+    val b = maxHamming + 3 // blocks; B - d = 3 blocks must match exactly
+    val clean = b - maxHamming
+    val widths = Array.tabulate(b)(i => 64 / b + (if (i < 64 % b) 1 else 0))
+    val offs = widths.scanLeft(0)(_ + _)
+    def block(sig: Column, i: Int): Column =
+      shiftrightunsigned(sig, offs(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    val tables = (0 until b).combinations(clean).toSeq
+    def keys(sig: Column): Column = array(tables.zipWithIndex.map {
+      case (blocks, t) => xxhash64((lit(t) +: blocks.map(block(sig, _))): _*)
+    }: _*)
+    val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val keyed = sigs.select(col("id"), col("sig"), explode(keys(col("sig"))).as("key"))
+    keyed.as("x").join(keyed.as("y"),
+        col("x.key") === col("y.key") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        hamming(col("x.sig"), col("y.sig")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("a", "b")
+  }
+
+  /** Naive 4x16-bit-segment blocking — candidate sets explode (~N^2/2^16)
+    * at scale; kept ONLY as a small-scale cross-check for [[simhashPairs]]
+    * (both must equal brute-force Hamming enumeration on test corpora). */
+  private[graft] def simhashPairsSeg16(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
     val sigs = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val seg = sigs.select(col("id"), col("sig"),

@@ -21,6 +21,10 @@ object GraftExpr {
   def simhash64(c: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
 
+  /** k-permutation MinHash signature of an array&lt;string&gt; column. */
+  def minhash_sig(c: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(c), k))
+
   /** Sequential-order cosine similarity of two double-array columns. */
   def cosine_sim(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -58,15 +62,22 @@ case class SimHash64(child: Expression) extends UnaryExpression
 }
 
 object SimHash64 {
+  /** ASCII whitespace exactly matching Java regex \s ([ \t\n\x0B\f\r]) — the
+    * HOF cross-check twin (Dedup.simhashHof) splits on \s+, so the native
+    * loop must NOT use Character.isWhitespace (full Unicode: U+2028 etc.)
+    * or the two diverge on text containing Unicode whitespace. */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   def of(text: String): Long = {
     val s = text.toLowerCase(java.util.Locale.ROOT)
     val sums = new Array[Int](64)
     val len = s.length
     var i = 0
     while (i < len) {
-      while (i < len && Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && isWs(s.charAt(i))) i += 1
       val start = i
-      while (i < len && !Character.isWhitespace(s.charAt(i))) i += 1
+      while (i < len && !isWs(s.charAt(i))) i += 1
       if (i > start) {
         val tok = UTF8String.fromString(s.substring(start, i))
         val h = XXH64.hashUnsafeBytes(tok.getBaseObject, tok.getBaseOffset, tok.numBytes(), 42L)
@@ -85,6 +96,58 @@ object SimHash64 {
     }
     sig
   }
+}
+
+/** k-permutation MinHash signature (Broder 1997) of an array&lt;string&gt;
+  * shingle column: sig(i) = min over shingles of hash_i(shingle).
+  *
+  * hash_i replicates the HOF formulation `xxhash64(lit(i), shingle)`
+  * bit-for-bit: Spark's XxHash64 folds multi-arg input left-to-right, so
+  * hash_i(s) = XXH64.hashUnsafeBytes(s, seed = XXH64.hashInt(i, 42)).
+  * The per-permutation seeds are precomputed once; each row is ONE tight
+  * loop of k*|shingles| hash calls — replacing 32 interpreted
+  * transform+xxhash64+array_min HOF pipelines per row (the round-1 d05
+  * hot spot: 26% of the whole bench).
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  require(k > 0, s"k must be positive, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "minhash_sig"
+
+  // seed_i = xxhash64's running hash after folding the int literal i
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) { // match array_min-over-empty: k nulls
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.fill[Any](k)(null))
+    }
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val s = arr.getUTF8String(j)
+      if (s != null) {
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes(), seeds(i))
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
 }
 
 /** Cosine similarity of two double arrays, accumulated in double in array

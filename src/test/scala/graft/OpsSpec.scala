@@ -83,6 +83,42 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native MinHashSig expression matches the HOF reference bit-for-bit") {
+    val sh = docs.select(Dedup.shingles(col("text"), 3).as("sh"))
+    val both = sh.select(
+      Dedup.minhashSignature(col("sh"), 32).as("native"),
+      Dedup.minhashSignatureHof(col("sh"), 32).as("hof")).collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // empty shingle array -> k nulls on both sides
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val empty = Seq(Seq.empty[String]).toDF("sh")
+    val e = empty.select(
+      Dedup.minhashSignature(col("sh"), 4).as("native"),
+      Dedup.minhashSignatureHof(col("sh"), 4).as("hof")).collect().head
+    assert(e.getSeq[Any](0) == Seq(null, null, null, null))
+    assert(e.getSeq[Any](0) == e.getSeq[Any](1))
+  }
+
+  test("manku simhash blocking equals seg16 blocking equals brute hamming") {
+    val manku = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seg16 = Dedup.simhashPairsSeg16(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: all pairs within hamming 3 (both blockings are exact
+    // for d<=3 by pigeonhole, so all three sets must be equal)
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(manku == brute, s"manku missing=${brute -- manku} extra=${manku -- brute}")
+    assert(seg16 == brute, s"seg16 missing=${brute -- seg16} extra=${seg16 -- brute}")
+    assert(brute.nonEmpty, "test corpus must contain planted simhash near-dups")
+  }
+
   test("native SimHash64 expression matches the HOF reference formulation") {
     val both = docs.select(
       Dedup.simhash(col("text")).as("native"),
