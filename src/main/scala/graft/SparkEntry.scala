@@ -17,9 +17,10 @@ import graft.pipeline.ExtractPipeline
   *  - d01..d09: training-data text ops (exact dedup, token stats, quality,
   *    lang-id, MinHash+LSH, brute Jaccard, SimHash, fingerprint, clusters)
   *  - e01..e02: embedding similarity (brute-force cosine top-k, LSH ANN)
-  *  - x01..x03: the extraction pipeline itself on the synthetic pages
+  *  - x01..x05: the extraction pipeline itself on the synthetic pages
   *    corpus (no SQL oracle possible — correctness is gated by the golden
-  *    byte-equality suite in `sbt test`; driver records rows>0)
+  *    byte-equality suite in `sbt test`; driver records rows>0). x05
+  *    exercises the nested attachments array + re-attach filter policy.
   */
 object SparkEntry {
 
@@ -200,9 +201,29 @@ object SparkEntry {
     }),
     "x02_extract_docs" -> ((s, d) => {
       val out = ExtractPipeline.run(pages(s, d), ExtractPipeline.Config(partitions = 32))
-      out.select(col("url"), col("status"), col("mimeType"), col("textBytes"),
-        size(col("spans")).as("n_spans"), xxhash64(col("text")).as("text_hash"))
+      out.select(col("url"), col("status"), col("mimeType"),
+        col("detectedKind"), col("pdfVersion"), col("textBytes"),
+        size(col("spans")).as("n_spans"), size(col("attachments")).as("n_atts"),
+        xxhash64(col("text")).as("text_hash"))
         .orderBy("url")
+    }),
+    "x05_attachment_policy" -> ((s, d) => {
+      // nested-data filter policy (A15, utils.py:464-507): per target
+      // PDF/A version, filter the attachments array in place (codegen'd
+      // HOF, no explode) and aggregate what survives
+      val out = ExtractPipeline.run(pages(s, d), ExtractPipeline.Config(partitions = 32))
+        .toDF()
+        .where(size(col("attachments")) > 0)
+      Seq("1", "2", "3").map { v =>
+        out.select(
+            size(col("attachments")).as("n_in"),
+            size(graft.ops.Attachments.applyPolicy(col("attachments"), v)).as("n_kept"))
+          .agg(count(lit(1)).as("docs_with_atts"),
+            sum(col("n_in")).as("atts_in"),
+            sum(col("n_kept")).as("atts_kept"))
+          .select(lit(v).as("pdf_version"), col("docs_with_atts"),
+            col("atts_in"), col("atts_kept"))
+      }.reduce(_.unionByName(_)).orderBy("pdf_version")
     }),
     "x04_span_kinds" -> ((s, d) => {
       // fan-out + regroup (thumbnail fan-out analog, tasks.py:186-201):

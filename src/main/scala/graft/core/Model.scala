@@ -23,6 +23,15 @@ case class RawDoc(url: String, html: Array[Byte])
   */
 case class Span(kind: String, start: Long, end: Long)
 
+/** An embedded file extracted from a document, bytes included — the nested
+  * analog of the reference's Attachment (docsbox/docs/classes/attachment.py:5-12,
+  * utils.py:440-461): name, payload, and the filespec props that survive a
+  * re-attach (/Desc, /CreationDate, /ModDate — utils.py:488-495). */
+case class Attachment(
+    name: String,
+    bytes: Array[Byte],
+    props: Map[String, String])
+
 /** Error-as-value extraction result. The extractor NEVER throws — bad input
   * becomes a status row, mirroring the reference's FileInfoException contract
   * (docsbox/docs/classes/file/file_info_exception.py:1-20, tasks.py:102-103).
@@ -35,7 +44,16 @@ case class Extracted(
     spans: Seq[Span],
     textBytes: Long,
     message: String, // null when status == finished
-    heuristicsVersion: String)
+    heuristicsVersion: String,
+    /** Type family routed to: html | pdf | text | ooxml | odf | zip |
+      * image | audio | video | unknown (detect result the reference returns
+      * on every request, docsbox/docs/views.py:82-95). */
+    detectedKind: String,
+    /** PDF/A version "partN + conformance" ("1B") when the XMP metadata
+      * carries pdfaid; "" otherwise (utils.py:118-125,223-238). */
+    pdfVersion: String,
+    /** Embedded files with payload bytes + filespec props. */
+    attachments: Seq[Attachment])
 
 /** Pipeline output row = Extracted + per-row lineage columns
   * (north_rule: per-partition lineage — input snapshot id, partition id).
@@ -51,6 +69,9 @@ case class ExtractedRow(
     textBytes: Long,
     message: String,
     heuristicsVersion: String,
+    detectedKind: String,
+    pdfVersion: String,
+    attachments: Seq[Attachment],
     partitionId: Int,
     inputSnapshotId: Long)
 
@@ -62,12 +83,19 @@ object Status {
   val Corrupted = "corrupted"
   val NonConvertable = "non-convertable"
   val PasswordProtected = "password-protected"
+  /** Encrypted but the empty user password decrypts — the reference's
+    * partial state (utils.py:241-256: decrypt("") in (1, 2)). */
+  val PasswordProtectedPartial = "password-protected-partial"
   val All: Seq[String] =
-    Seq(Finished, Failed, Corrupted, NonConvertable, PasswordProtected)
+    Seq(Finished, Failed, Corrupted, NonConvertable, PasswordProtected,
+      PasswordProtectedPartial)
 }
 
 object Heuristics {
   /** Bump whenever an extraction heuristic changes — goldens are keyed to it.
-    * Analog of the XMP provenance stamp (docsbox/docs/utils.py:267-283). */
-  val Version = "v1"
+    * Analog of the XMP provenance stamp (docsbox/docs/utils.py:267-283).
+    * v2: OOXML/ODF zip-member detection + extraction, trailer-restricted
+    * PDF /Encrypt probe, metadata-restricted pdfaid probe, pdfVersion +
+    * detectedKind + attachment payloads. */
+  val Version = "v2"
 }

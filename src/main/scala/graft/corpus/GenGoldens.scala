@@ -50,7 +50,7 @@ object GenGoldens {
 
     val pages = dedupedPages(n)
     val tsv = new java.lang.StringBuilder(64 * 1024)
-    tsv.append("url\tstatus\tmimeType\ttextBytes\tspanCount\tmessage\n")
+    tsv.append("url\tstatus\tmimeType\ttextBytes\tspanCount\tmessage\tdetectedKind\tpdfVersion\tnAttachments\tattBytes\n")
     var goldens = 0
     pages.foreach { p =>
       val e = Extractor.extract(p.url, p.html)
@@ -59,7 +59,9 @@ object GenGoldens {
         goldens += 1
       }
       val msg = Option(e.message).getOrElse("")
-      tsv.append(s"${p.url}\t${e.status}\t${e.mimeType}\t${e.textBytes}\t${e.spans.length}\t$msg\n")
+      val attBytes = e.attachments.map(_.bytes.length.toLong).sum
+      tsv.append(s"${p.url}\t${e.status}\t${e.mimeType}\t${e.textBytes}\t${e.spans.length}\t$msg" +
+        s"\t${e.detectedKind}\t${e.pdfVersion}\t${e.attachments.length}\t$attBytes\n")
     }
     Files.write(Paths.get(outDir, "expected.tsv"),
       tsv.toString.getBytes(StandardCharsets.UTF_8))

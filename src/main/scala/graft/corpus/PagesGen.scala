@@ -39,8 +39,10 @@ object PagesGen {
   val Seed = 42L
 
   /** Bump when generated content changes — cache paths embed it so stale
-    * materialized corpora are never reused. */
-  val CorpusVersion = "c2"
+    * materialized corpora are never reused.
+    * c3: ooxml/odf/zip categories, pdf-encrypted-partial, pdf-encrypt-text,
+    * attachment filespec props. */
+  val CorpusVersion = "c3"
 
   // fixed multilingual word pools (fi / sv / en flavor for `lang` variety)
   private val WordsEn = Array(
@@ -98,7 +100,8 @@ object PagesGen {
     case m if m < 75 => "pdf-simple"
     case m if m < 78 => "pdf-attachments"
     case m if m < 80 => "pdf-already-done"
-    case m if m < 82 => "pdf-encrypted"
+    case 80 => "pdf-encrypted"
+    case 81 => "pdf-encrypted-partial"
     case m if m < 84 => "pdf-bad-coords"
     case m if m < 86 => "media-junk"
     case m if m < 88 => "random-junk"
@@ -106,7 +109,12 @@ object PagesGen {
     case 90 => "empty"
     case 91 => "giant"
     case 92 | 93 => "dup-url" // 92 = first crawl, 93 = re-crawl of 92's url
-    case _ => "html-clean"
+    case 94 => "docx"
+    case 95 => "odt"
+    case 96 => "pptx"
+    case 97 => "xlsx"
+    case 98 => "zip-plain"
+    case _ => "pdf-encrypt-text" // 99: "/Encrypt" + "pdfaid:part" as TEXT
   }
 
   /** Expected extraction status per category (expectation-table-as-code,
@@ -114,11 +122,13 @@ object PagesGen {
   def expectedStatus(cat: String): String = cat match {
     case "pdf-already-done" => "non-convertable"
     case "pdf-encrypted" => "password-protected"
+    case "pdf-encrypted-partial" => "password-protected-partial"
     case "pdf-bad-coords" => "failed"
     case "media-junk" => "non-convertable"
     case "random-junk" => "corrupted"
     case "truncated" => "corrupted"
     case "empty" => "corrupted"
+    case "zip-plain" => "non-convertable"
     case _ => "finished"
   }
 
@@ -157,6 +167,29 @@ object PagesGen {
         PdfGen.build(PdfGen.PdfSpec(pdfPages(r, lang, 1), pdfaMarker = true))
       case "pdf-encrypted" =>
         PdfGen.build(PdfGen.PdfSpec(pdfPages(r, lang, 1), encrypted = true))
+      case "pdf-encrypted-partial" =>
+        PdfGen.build(PdfGen.PdfSpec(pdfPages(r, lang, 1), encryptedPartial = true))
+      case "pdf-encrypt-text" =>
+        // a NORMAL pdf whose prose mentions the probe markers — must extract
+        // as finished (probe-restriction regression fixture)
+        PdfGen.build(PdfGen.PdfSpec(Seq(
+          Seq(s"Discussing /Encrypt dictionaries and pdfaid:part markers in prose.",
+            sentence(r, lang), sentence(r, lang), sentence(r, lang)))))
+      case "docx" =>
+        ZipGen.docx((0 until 4 + r.nextInt(8)).map(_ => paragraph(r, lang, 2 + r.nextInt(3))))
+      case "odt" =>
+        ZipGen.odt(sentence(r, lang),
+          (0 until 3 + r.nextInt(6)).map(_ => paragraph(r, lang, 2 + r.nextInt(3))))
+      case "pptx" =>
+        ZipGen.pptx((0 until 1 + r.nextInt(3)).map(_ =>
+          (0 until 2 + r.nextInt(4)).map(_ => sentence(r, lang))))
+      case "xlsx" =>
+        ZipGen.xlsx((0 until 5 + r.nextInt(10)).map(_ => sentence(r, lang)))
+      case "zip-plain" =>
+        val junk = new Array[Byte](64 + r.nextInt(128))
+        var zi = 0
+        while (zi < junk.length) { junk(zi) = (r.nextLong() & 0xff).toByte; zi += 1 }
+        ZipGen.zip(Seq("data/readme.bin" -> junk))
       case "pdf-bad-coords" =>
         PdfGen.build(PdfGen.PdfSpec(pdfPages(r, lang, 1), badCoords = true))
       case "media-junk" => mediaJunk(r, ((idx / 100) % 3).toInt)

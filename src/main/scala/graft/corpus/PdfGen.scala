@@ -25,9 +25,20 @@ object PdfGen {
   case class PdfSpec(
       pages: Seq[Seq[String]], // text lines per page
       encrypted: Boolean = false,
+      /** Encrypted with an EMPTY user password: /U carries the spec's
+        * 32-byte padding string -> "password-protected-partial"
+        * (utils.py:247-255 decrypt("") analog). */
+      encryptedPartial: Boolean = false,
       pdfaMarker: Boolean = false,
       badCoords: Boolean = false,
       attachments: Seq[(String, Array[Byte])] = Nil)
+
+  /** PDF 32000-1 7.6.3.3 padding string as hex (= empty user password /U). */
+  private val PadHex: String = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(b => f"$b%02X").mkString
 
   private def esc(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length + 8)
@@ -58,7 +69,9 @@ object PdfGen {
     def contentId(i: Int) = 5 + 2 * i
     var nextId = 4 + 2 * nPages
     val metaId = if (spec.pdfaMarker) { val v = nextId; nextId += 1; v } else -1
-    val encId = if (spec.encrypted) { val v = nextId; nextId += 1; v } else -1
+    val encId =
+      if (spec.encrypted || spec.encryptedPartial) { val v = nextId; nextId += 1; v }
+      else -1
     val attIds = spec.attachments.map { _ =>
       val fs = nextId; val st = nextId + 1; nextId += 2; (fs, st)
     }
@@ -142,16 +155,20 @@ object PdfGen {
     // encryption dict (structure only; content not actually encrypted —
     // the parser short-circuits on /Encrypt like pdf_protection_status)
     if (encId > 0) {
+      val u = if (spec.encryptedPartial) PadHex
+        else "00" * 32
       obj(encId) {
         write("<< /Filter /Standard /V 2 /R 3 /Length 128 /P -3904 " +
           "/O <0000000000000000000000000000000000000000000000000000000000000000> " +
-          "/U <0000000000000000000000000000000000000000000000000000000000000000> >>\n")
+          s"/U <$u> >>\n")
       }
     }
-    // attachments
+    // attachments — filespec props mirror the reference's preserved keys
+    // (utils.py:488-495: /Desc, /CreationDate)
     spec.attachments.zip(attIds).foreach { case ((name, data), (fsId, stId)) =>
       obj(fsId) {
         write(s"<< /Type /Filespec /F (${esc(name)}) /UF (${esc(name)}) " +
+          s"/Desc (attachment ${esc(name)}) /CreationDate (D:20250101000000Z) " +
           s"/EF << /F $stId 0 R >> >>\n")
       }
       obj(stId) {

@@ -1,8 +1,9 @@
 package graft.extract
 
 import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+import scala.util.control.NonFatal
 
-import graft.core.{Extracted, Heuristics, Span, Status}
+import graft.core.{Attachment, Extracted, Heuristics, Span, Status}
 
 /** Per-document extraction dispatcher: sniff -> route -> extract -> validate
   * -> bounded fallback -> error-as-value result. The Spark analog of the
@@ -18,13 +19,26 @@ object Extractor {
 
   private val Empty = Array.emptyByteArray
 
+  /** Status-row result with no text (errors, gates). */
+  private def statusRow(url: String, status: String, mime: String,
+      message: String, pdfVersion: String = ""): Extracted =
+    Extracted(url, status, mime, Empty, Nil, 0L, message, Heuristics.Version,
+      Sniffer.kindOf(mime), pdfVersion, Nil)
+
   def extract(url: String, payload: Array[Byte]): Extracted = {
     try {
       extractUnsafe(url, payload)
     } catch {
-      case e: Throwable => // never-throw contract (FileInfoException analog)
-        Extracted(url, Status.Failed, Sniffer.MimeUnknown, Empty, Nil, 0L,
-          s"internal: ${e.getClass.getSimpleName}", Heuristics.Version)
+      // never-throw contract (FileInfoException analog) — but only within
+      // reason: NonFatal + StackOverflowError (deep-nesting protection).
+      // Fatal JVM errors (OOM) and interrupts PROPAGATE: an executor OOM
+      // must not become a quiet 'failed' row, and Spark task-kill
+      // interrupts must not be swallowed.
+      case _: StackOverflowError =>
+        statusRow(url, Status.Failed, Sniffer.MimeUnknown, "internal: StackOverflowError")
+      case NonFatal(e) =>
+        statusRow(url, Status.Failed, Sniffer.MimeUnknown,
+          s"internal: ${e.getClass.getSimpleName}")
     }
   }
 
@@ -34,17 +48,32 @@ object Extractor {
       case Sniffer.MimeHtml => extractHtml(url, payload)
       case Sniffer.MimePdf => extractPdf(url, payload)
       case Sniffer.MimeText => extractPlainText(url, payload)
+      case Sniffer.MimeDocx => ooxml(url, mime, OoxmlParser.extractDocx(payload))
+      case Sniffer.MimePptx => ooxml(url, mime, OoxmlParser.extractPptx(payload))
+      case Sniffer.MimeXlsx => ooxml(url, mime, OoxmlParser.extractXlsx(payload))
+      case Sniffer.MimeOdt => ooxml(url, mime, OoxmlParser.extractOdt(payload))
+      case Sniffer.MimeZip => // archive without a recognized document member
+        statusRow(url, Status.NonConvertable, mime,
+          "zip archive without a recognized document member")
       case Sniffer.MimeUnknown =>
         val msg = if (payload == null || payload.isEmpty) "empty payload"
         else "unable to detect file type"
-        Extracted(url, Status.Corrupted, Sniffer.MimeUnknown, Empty, Nil, 0L,
-          msg, Heuristics.Version)
+        statusRow(url, Status.Corrupted, Sniffer.MimeUnknown, msg)
       case other => // recognized but unsupported media (test15.mp4 analog,
         // tests/test_dependencies.py filesNotConvertable)
-        Extracted(url, Status.NonConvertable, other, Empty, Nil, 0L,
-          s"mimetype not supported for extraction: $other", Heuristics.Version)
+        statusRow(url, Status.NonConvertable, other,
+          s"mimetype not supported for extraction: $other")
     }
   }
+
+  // --------------------------------------------------------- OOXML / ODF
+
+  private def ooxml(url: String, mime: String, res: OoxmlParser.Result): Extracted =
+    res match {
+      case OoxmlParser.OoxmlText(text, spans) => finish(url, mime, text, spans)
+      case OoxmlParser.OoxmlFailure(msg) =>
+        statusRow(url, Status.Failed, mime, msg)
+    }
 
   // ---------------------------------------------------------------- HTML
 
@@ -59,8 +88,8 @@ object Extractor {
     if (res.contentBlocks == 0 && res.totalWords > 50) {
       // conversion produced nothing from a non-trivial page: the analog of
       // "It was not possible to convert the file" (tasks.py:137-138)
-      return Extracted(url, Status.Failed, Sniffer.MimeHtml, Empty, Nil, 0L,
-        "no main content detected", Heuristics.Version)
+      return statusRow(url, Status.Failed, Sniffer.MimeHtml,
+        "no main content detected")
     }
     finish(url, Sniffer.MimeHtml, res.text, res.spans)
   }
@@ -109,25 +138,29 @@ object Extractor {
 
   private def extractPdf(url: String, payload: Array[Byte]): Extracted = {
     PdfParser.parse(payload) match {
-      case PdfParser.PdfText(text, spans, attachments, _) =>
+      case PdfParser.PdfText(text, spans, atts, _) =>
         val textBytes = Boilerplate.utf8Len(text)
         // attachment spans carry the name in `kind` (filespec walk analog,
-        // utils.py:440-461); zero-length at end-of-text
-        val attSpans = attachments.map(n => Span(s"attachment:$n", textBytes, textBytes))
-        finish(url, Sniffer.MimePdf, text, spans ++ attSpans)
-      case PdfParser.PdfEncrypted() =>
-        Extracted(url, Status.PasswordProtected, Sniffer.MimePdf, Empty, Nil,
-          0L, "password-protected", Heuristics.Version)
-      case PdfParser.PdfAlreadyPdfa() =>
-        Extracted(url, Status.NonConvertable, Sniffer.MimePdf, Empty, Nil, 0L,
-          "already PDF/A", Heuristics.Version)
+        // utils.py:440-461); zero-length at end-of-text; payload bytes +
+        // props travel in the nested attachments column
+        val attSpans = atts.map(a => Span(s"attachment:${a.name}", textBytes, textBytes))
+        finish(url, Sniffer.MimePdf, text, spans ++ attSpans, attachments = atts)
+      case PdfParser.PdfEncrypted(partial) =>
+        if (partial)
+          statusRow(url, Status.PasswordProtectedPartial, Sniffer.MimePdf,
+            "password-protected-partial")
+        else
+          statusRow(url, Status.PasswordProtected, Sniffer.MimePdf,
+            "password-protected")
+      case PdfParser.PdfAlreadyPdfa(version) =>
+        statusRow(url, Status.NonConvertable, Sniffer.MimePdf,
+          "already PDF/A", pdfVersion = version)
       case PdfParser.PdfFailure(msg) =>
         val st =
           if (msg == "truncated payload" || msg == "no content streams")
             Status.Corrupted
           else Status.Failed
-        Extracted(url, st, Sniffer.MimePdf, Empty, Nil, 0L, msg,
-          Heuristics.Version)
+        statusRow(url, st, Sniffer.MimePdf, msg)
     }
   }
 
@@ -141,7 +174,8 @@ object Extractor {
     finish(url, Sniffer.MimeText, text, spans)
   }
 
-  private def finish(url: String, mime: String, text: String, spans: Seq[Span]): Extracted = {
+  private def finish(url: String, mime: String, text: String, spans: Seq[Span],
+      attachments: Seq[Attachment] = Nil): Extracted = {
     val bytes = text.getBytes(StandardCharsets.UTF_8)
     // post-extract invariants (conversion sanity check analog,
     // utils.py:394-407): span offsets within bounds and non-decreasing
@@ -152,10 +186,9 @@ object Extractor {
       last = sp.start
     }
     if (!ok)
-      Extracted(url, Status.Failed, mime, Empty, Nil, 0L,
-        "span validation failed", Heuristics.Version)
+      statusRow(url, Status.Failed, mime, "span validation failed")
     else
       Extracted(url, Status.Finished, mime, bytes, spans, bytes.length.toLong,
-        null, Heuristics.Version)
+        null, Heuristics.Version, Sniffer.kindOf(mime), "", attachments)
   }
 }

@@ -2,8 +2,9 @@ package graft.extract
 
 import java.nio.charset.StandardCharsets
 import scala.collection.mutable.ArrayBuffer
+import scala.util.control.NonFatal
 
-import graft.core.Span
+import graft.core.{Attachment, Span}
 
 /** Positional PDF layout parser (PDFBox-style, per north_star): walks content
   * streams, executes the text-positioning/showing operators (Tf, Td, TD, Tm,
@@ -26,10 +27,13 @@ object PdfParser {
   final case class PdfText(
       text: String,
       spans: Vector[Span],
-      attachments: Vector[String],
+      attachments: Vector[Attachment],
       pageCount: Int) extends PdfResult
-  final case class PdfEncrypted() extends PdfResult
-  final case class PdfAlreadyPdfa() extends PdfResult
+  /** `partial` = the empty user password decrypts (reference's
+    * "password-protected-partial", utils.py:241-256). */
+  final case class PdfEncrypted(partial: Boolean) extends PdfResult
+  /** `version` = pdfaid part + conformance, e.g. "1B" (utils.py:118-125). */
+  final case class PdfAlreadyPdfa(version: String) extends PdfResult
   final case class PdfFailure(message: String) extends PdfResult
 
   /** PDF 32000-1:2008 implementation limit on coordinate magnitude. */
@@ -39,11 +43,21 @@ object PdfParser {
 
   def parse(payload: Array[Byte]): PdfResult = {
     try {
+      // ISO-8859-1 chars map 1:1 to bytes, and JDK compact strings store
+      // Latin-1 as byte[] — this "String" costs ~1x payload, not 2x
       val s = new String(payload, StandardCharsets.ISO_8859_1)
       if (!s.startsWith("%PDF-")) return PdfFailure("not a PDF payload")
       if (!s.contains("%%EOF")) return PdfFailure("truncated payload")
-      if (s.contains("/Encrypt")) return PdfEncrypted()
-      if (s.contains("pdfaid:part")) return PdfAlreadyPdfa()
+      // probes are RESTRICTED to the governing structures — a content
+      // stream whose TEXT mentions "/Encrypt" or "pdfaid:part" must not
+      // flip the document's state (round-1 false-positive risk)
+      encryptionState(s) match {
+        case EncNone =>
+        case EncPartial => return PdfEncrypted(partial = true)
+        case EncFull => return PdfEncrypted(partial = false)
+      }
+      val pdfa = pdfaVersion(s)
+      if (pdfa.nonEmpty) return PdfAlreadyPdfa(pdfa)
 
       val streams = contentStreams(s)
       val pageTexts = new ArrayBuffer[Vector[(Double, Double, String)]]()
@@ -77,12 +91,146 @@ object PdfParser {
           emitted += 1
         }
       }
-      PdfText(sb.toString, spans.toVector, attachmentNames(s), pageTexts.length)
+      PdfText(sb.toString, spans.toVector, attachments(s), pageTexts.length)
     } catch {
       case _: OutOfRange => PdfFailure("out-of-range coordinates")
-      case e: Throwable =>
+      // never-throw within reason: NonFatal + StackOverflowError (deep
+      // nesting protection). OOM/interrupts PROPAGATE — an executor OOM
+      // must not become a quiet 'failed' row, and task kills must land.
+      case _: StackOverflowError => PdfFailure("pdf parse error: StackOverflowError")
+      case NonFatal(e) =>
         PdfFailure(s"pdf parse error: ${e.getClass.getSimpleName}")
     }
+  }
+
+  // ------------------------------------------------- structural probes
+
+  private sealed trait EncState
+  private case object EncNone extends EncState
+  private case object EncFull extends EncState
+  private case object EncPartial extends EncState
+
+  /** PDF 32000-1 7.6.3.3 padding string: for RC4 /R2, /U equal to this
+    * padding means the user password is empty — the deterministic analog of
+    * the reference's decrypt("") succeeding (utils.py:247-255). */
+  private val PadBytes: Array[Int] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A)
+
+  /** Balanced `<< ... >>` dict starting at or after `from`; empty if none. */
+  private def dictAfter(s: String, from: Int, searchLimit: Int = 512): String = {
+    val start = s.indexOf("<<", from)
+    if (start < 0 || start - from > searchLimit) return ""
+    var depth = 0
+    var i = start
+    while (i + 1 < s.length) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (s.charAt(i) == '>' && s.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return s.substring(start, i)
+      } else i += 1
+    }
+    ""
+  }
+
+  /** The dict of object `num 0 obj`; empty if absent. */
+  private def objDict(s: String, num: Int): String = {
+    val key = s"$num 0 obj"
+    var i = s.indexOf(key)
+    while (i >= 0) {
+      // require a non-digit before the number so "12 0 obj" != "2 0 obj"
+      if (i == 0 || !Character.isDigit(s.charAt(i - 1))) return dictAfter(s, i + key.length)
+      i = s.indexOf(key, i + 1)
+    }
+    ""
+  }
+
+  /** Encryption state from the TRAILER dict(s) only: resolve the /Encrypt
+    * reference and classify by the /U entry (empty-user-password check). */
+  private def encryptionState(s: String): EncState = {
+    var t = s.indexOf("trailer")
+    while (t >= 0) {
+      val dict = dictAfter(s, t + 7)
+      val e = dict.indexOf("/Encrypt")
+      if (e >= 0) {
+        // parse the reference "N 0 R" (or inline dict) after /Encrypt
+        var i = e + 8
+        while (i < dict.length && dict.charAt(i) == ' ') i += 1
+        val st = i
+        while (i < dict.length && Character.isDigit(dict.charAt(i))) i += 1
+        val encDict =
+          if (i > st) objDict(s, dict.substring(st, i).toInt)
+          else dictAfter(dict, e) // inline encryption dict
+        return if (uIsPadding(encDict)) EncPartial else EncFull
+      }
+      t = s.indexOf("trailer", t + 7)
+    }
+    EncNone
+  }
+
+  /** True if the /U hex string's first 32 bytes equal the spec padding. */
+  private def uIsPadding(encDict: String): Boolean = {
+    val u = encDict.indexOf("/U")
+    if (u < 0) return false
+    var i = u + 2
+    while (i < encDict.length && encDict.charAt(i) == ' ') i += 1
+    if (i >= encDict.length || encDict.charAt(i) != '<') return false
+    i += 1
+    var k = 0
+    while (k < 32) {
+      if (i + 1 >= encDict.length) return false
+      val hi = Character.digit(encDict.charAt(i), 16)
+      val lo = Character.digit(encDict.charAt(i + 1), 16)
+      if (hi < 0 || lo < 0) return false
+      if (((hi << 4) | lo) != PadBytes(k)) return false
+      i += 2
+      k += 1
+    }
+    true
+  }
+
+  /** PDF/A version ("1B") from XMP METADATA streams only (dict marked
+    * /Metadata or /Subtype /XML) — utils.py:223-238 + get_pdfa_version. */
+  private def pdfaVersion(s: String): String = {
+    var i = s.indexOf("stream")
+    while (i >= 0) {
+      var dataStart = i + 6
+      if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+      if (dataStart < s.length && s.charAt(dataStart) == '\n') {
+        dataStart += 1
+        val end = s.indexOf("endstream", dataStart)
+        val dataEnd = if (end < 0) s.length else end
+        val objStart = s.lastIndexOf(" obj", i)
+        val dict = if (objStart < 0) "" else s.substring(objStart, i)
+        if (dict.contains("/Metadata") || dict.contains("/Subtype /XML")) {
+          val body = s.substring(dataStart, dataEnd)
+          val part = xmpValue(body, "pdfaid:part")
+          if (part.nonEmpty)
+            return part + xmpValue(body, "pdfaid:conformance")
+        }
+        i = s.indexOf("stream", if (end < 0) s.length else end + 9)
+      } else i = s.indexOf("stream", i + 6)
+    }
+    ""
+  }
+
+  /** `<name>value</...>` element or `name="value"` attribute form. */
+  private def xmpValue(xmp: String, name: String): String = {
+    val el = xmp.indexOf(name + ">")
+    if (el >= 0) {
+      val st = el + name.length + 1
+      val end = xmp.indexOf('<', st)
+      if (end > st) return xmp.substring(st, end).trim
+    }
+    val at = xmp.indexOf(name + "=\"")
+    if (at >= 0) {
+      val st = at + name.length + 2
+      val end = xmp.indexOf('"', st)
+      if (end > st) return xmp.substring(st, end).trim
+    }
+    ""
   }
 
   /** All decoded stream bodies that are plausibly content streams. */
@@ -281,23 +429,86 @@ object PdfParser {
     Character.isWhitespace(c) || c == '(' || c == ')' || c == '<' || c == '>' ||
       c == '[' || c == ']' || c == '{' || c == '}' || c == '/' || c == '%'
 
-  /** Embedded-file names from /Filespec objects (utils.py:440-461 analog). */
-  private def attachmentNames(s: String): Vector[String] = {
-    val out = Vector.newBuilder[String]
+  /** Literal string `(...)` starting at `open`; de-escaped. */
+  private def pdfLiteral(s: String, open: Int): String = {
+    var j = open + 1
+    val sb = new java.lang.StringBuilder(16)
+    while (j < s.length && s.charAt(j) != ')') {
+      if (s.charAt(j) == '\\' && j + 1 < s.length) { sb.append(s.charAt(j + 1)); j += 2 }
+      else { sb.append(s.charAt(j)); j += 1 }
+    }
+    sb.toString
+  }
+
+  /** `/Key (literal)` value inside a dict, or null. */
+  private def literalProp(dict: String, key: String): String = {
+    val k = dict.indexOf(key + " (")
+    if (k < 0) null else pdfLiteral(dict, k + key.length + 1)
+  }
+
+  /** Embedded files from /Filespec objects — name, PAYLOAD BYTES from the
+    * referenced /EF embedded-file stream, and the filespec props that
+    * survive a re-attach (utils.py:440-461, 488-495: /Desc, /CreationDate,
+    * /ModDate). Stream length is taken from /Length (exact bytes). */
+  private def attachments(s: String): Vector[Attachment] = {
+    val out = Vector.newBuilder[Attachment]
     var i = s.indexOf("/Filespec")
     while (i >= 0) {
-      val f = s.indexOf("/F (", i)
-      if (f >= 0 && f < i + 200) {
-        var j = f + 4
-        val sb = new java.lang.StringBuilder(16)
-        while (j < s.length && s.charAt(j) != ')') {
-          if (s.charAt(j) == '\\' && j + 1 < s.length) { sb.append(s.charAt(j + 1)); j += 2 }
-          else { sb.append(s.charAt(j)); j += 1 }
+      val objStart = s.lastIndexOf(" obj", i)
+      val dict = dictAfter(s, if (objStart < 0) i else objStart, searchLimit = 2048)
+      val name = literalProp(dict, "/F")
+      if (name != null) {
+        val props = Map.newBuilder[String, String]
+        Seq("/Desc", "/CreationDate", "/ModDate").foreach { k =>
+          val v = literalProp(dict, k)
+          if (v != null) props += k.stripPrefix("/") -> v
         }
-        out += sb.toString
+        out += Attachment(name, embeddedFileBytes(s, dict), props.result())
       }
       i = s.indexOf("/Filespec", i + 9)
     }
     out.result()
+  }
+
+  /** Resolve `/EF << /F N 0 R >>` -> object N's stream body (exact /Length). */
+  private def embeddedFileBytes(s: String, filespecDict: String): Array[Byte] = {
+    val ef = filespecDict.indexOf("/EF")
+    if (ef < 0) return Array.emptyByteArray
+    val fRef = filespecDict.indexOf("/F ", ef)
+    if (fRef < 0) return Array.emptyByteArray
+    var i = fRef + 3
+    while (i < filespecDict.length && filespecDict.charAt(i) == ' ') i += 1
+    val st = i
+    while (i < filespecDict.length && Character.isDigit(filespecDict.charAt(i))) i += 1
+    if (i == st) return Array.emptyByteArray
+    val num = filespecDict.substring(st, i).toInt
+    // locate object num's dict + stream data
+    val key = s"$num 0 obj"
+    var o = s.indexOf(key)
+    while (o >= 0 && o > 0 && Character.isDigit(s.charAt(o - 1)))
+      o = s.indexOf(key, o + 1)
+    if (o < 0) return Array.emptyByteArray
+    val dict = dictAfter(s, o + key.length)
+    val lenStr = {
+      val l = dict.indexOf("/Length")
+      if (l < 0) return Array.emptyByteArray
+      var j = l + 7
+      while (j < dict.length && dict.charAt(j) == ' ') j += 1
+      val ls = j
+      while (j < dict.length && Character.isDigit(dict.charAt(j))) j += 1
+      dict.substring(ls, j)
+    }
+    if (lenStr.isEmpty) return Array.emptyByteArray
+    val len = lenStr.toInt
+    var ds = s.indexOf("stream", o)
+    if (ds < 0) return Array.emptyByteArray
+    ds += 6
+    if (ds < s.length && s.charAt(ds) == '\r') ds += 1
+    if (ds < s.length && s.charAt(ds) == '\n') ds += 1
+    if (ds + len > s.length) return Array.emptyByteArray
+    val bytes = new Array[Byte](len)
+    var k = 0
+    while (k < len) { bytes(k) = s.charAt(ds + k).toByte; k += 1 }
+    bytes
   }
 }

@@ -99,7 +99,8 @@ object ExtractPipeline {
       it.map { d =>
         val e = Extractor.extract(d.url, if (d.html == null) Array.emptyByteArray else d.html)
         ExtractedRow(e.url, e.status, e.mimeType, e.text, e.spans, e.textBytes,
-          e.message, e.heuristicsVersion, pid, cfg.inputSnapshotId)
+          e.message, e.heuristicsVersion, e.detectedKind, e.pdfVersion,
+          e.attachments, pid, cfg.inputSnapshotId)
       }
     }
   }
@@ -134,7 +135,8 @@ object ExtractPipeline {
           val e0 = iter.next()
           val e = Extractor.extract(e0.getKey, e0.getValue._3)
           ExtractedRow(e.url, e.status, e.mimeType, e.text, e.spans, e.textBytes,
-            e.message, e.heuristicsVersion, pid, cfg.inputSnapshotId)
+            e.message, e.heuristicsVersion, e.detectedKind, e.pdfVersion,
+            e.attachments, pid, cfg.inputSnapshotId)
         }
       }
     }

@@ -4,8 +4,8 @@ import java.nio.charset.StandardCharsets
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.corpus.{PagesGen, PdfGen, Rng}
-import graft.extract.{Extractor, HtmlParser, PdfParser, Sniffer}
+import graft.corpus.{PagesGen, PdfGen, Rng, ZipGen}
+import graft.extract.{Extractor, HtmlParser, OoxmlParser, PdfParser, Sniffer}
 
 /** Scalar extraction-core tests (no Spark): the expectation-table-as-code
   * analog of the reference's test_dependencies.py, plus the never-throw and
@@ -106,6 +106,100 @@ class ExtractorSpec extends AnyFunSuite {
     val e = Extractor.extract("u", pdf)
     assert(e.status == "finished")
     assert(e.spans.exists(_.kind == "attachment:note.txt"))
+  }
+
+  test("pdf attachment payload bytes and filespec props round-trip") {
+    val data = "attached payload äö".getBytes(StandardCharsets.UTF_8)
+    val pdf = PdfGen.build(PdfGen.PdfSpec(Seq(Seq("body")),
+      attachments = Seq("note.txt" -> data, "inner.pdf" -> "%PDF-1.4 fake".getBytes)))
+    val e = Extractor.extract("u", pdf)
+    assert(e.status == "finished")
+    assert(e.attachments.map(_.name) == Seq("note.txt", "inner.pdf"))
+    assert(java.util.Arrays.equals(e.attachments.head.bytes, data),
+      s"got ${new String(e.attachments.head.bytes, StandardCharsets.UTF_8)}")
+    assert(e.attachments.head.props("Desc") == "attachment note.txt")
+    assert(e.attachments.head.props("CreationDate") == "D:20250101000000Z")
+  }
+
+  test("encryption states: full vs empty-user-password partial") {
+    PdfParser.parse(PdfGen.build(PdfGen.PdfSpec(Seq(Seq("x")), encrypted = true))) match {
+      case PdfParser.PdfEncrypted(partial) => assert(!partial)
+      case other => fail(s"unexpected: $other")
+    }
+    PdfParser.parse(PdfGen.build(PdfGen.PdfSpec(Seq(Seq("x")), encryptedPartial = true))) match {
+      case PdfParser.PdfEncrypted(partial) => assert(partial)
+      case other => fail(s"unexpected: $other")
+    }
+    val e = Extractor.extract("u",
+      PdfGen.build(PdfGen.PdfSpec(Seq(Seq("x")), encryptedPartial = true)))
+    assert(e.status == "password-protected-partial")
+  }
+
+  test("probes are structural: /Encrypt and pdfaid:part as TEXT extract fine") {
+    val pdf = PdfGen.build(PdfGen.PdfSpec(Seq(Seq(
+      "Mentions /Encrypt and pdfaid:part inside prose.", "Second line."))))
+    PdfParser.parse(pdf) match {
+      case PdfParser.PdfText(text, _, _, _) =>
+        assert(text.contains("/Encrypt") && text.contains("pdfaid:part"))
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
+  test("pdfa version is parsed from XMP metadata (part + conformance)") {
+    PdfParser.parse(PdfGen.build(PdfGen.PdfSpec(Seq(Seq("x")), pdfaMarker = true))) match {
+      case PdfParser.PdfAlreadyPdfa(v) => assert(v == "1B")
+      case other => fail(s"unexpected: $other")
+    }
+    val e = Extractor.extract("u",
+      PdfGen.build(PdfGen.PdfSpec(Seq(Seq("x")), pdfaMarker = true)))
+    assert(e.status == "non-convertable" && e.pdfVersion == "1B")
+  }
+
+  test("zip member probe classifies ooxml/odf/plain archives") {
+    assert(Sniffer.sniff(ZipGen.docx(Seq("hello world"))) == Sniffer.MimeDocx)
+    assert(Sniffer.sniff(ZipGen.pptx(Seq(Seq("slide text")))) == Sniffer.MimePptx)
+    assert(Sniffer.sniff(ZipGen.xlsx(Seq("cell"))) == Sniffer.MimeXlsx)
+    assert(Sniffer.sniff(ZipGen.odt("h", Seq("p"))) == Sniffer.MimeOdt)
+    assert(Sniffer.sniff(ZipGen.zip(Seq("data/x.bin" -> Array[Byte](1, 2, 3)))) ==
+      Sniffer.MimeZip)
+  }
+
+  test("ooxml/odf extraction round-trips paragraphs byte-exactly") {
+    val paras = Seq("First paragraph with ä & <specials>.", "Second one.")
+    val d = Extractor.extract("u", ZipGen.docx(paras))
+    assert(d.status == "finished" && d.detectedKind == "ooxml")
+    assert(new String(d.text, StandardCharsets.UTF_8) == paras.mkString("\n"))
+    assert(d.spans.length == 2 && d.spans.forall(_.kind == "p"))
+
+    val o = Extractor.extract("u", ZipGen.odt("Heading", paras))
+    assert(o.status == "finished" && o.detectedKind == "odf")
+    assert(new String(o.text, StandardCharsets.UTF_8) ==
+      ("Heading" +: paras).mkString("\n"))
+
+    val p = Extractor.extract("u", ZipGen.pptx(Seq(Seq("s1 a", "s1 b"), Seq("s2"))))
+    assert(p.status == "finished")
+    assert(new String(p.text, StandardCharsets.UTF_8) == "s1 a\ns1 b\ns2")
+
+    val x = Extractor.extract("u", ZipGen.xlsx(Seq("alpha", "beta")))
+    assert(x.status == "finished")
+    assert(new String(x.text, StandardCharsets.UTF_8) == "alpha\nbeta")
+    assert(x.spans.forall(_.kind == "cell"))
+
+    val z = Extractor.extract("u", ZipGen.zip(Seq("a/b.bin" -> Array[Byte](9))))
+    assert(z.status == "non-convertable" && z.mimeType == "application/zip")
+  }
+
+  test("ooxml never throws on corrupt members and truncated zips") {
+    val good = ZipGen.docx(Seq("some paragraph"))
+    (1 until good.length by 37).foreach { cut =>
+      val e = Extractor.extract("u", java.util.Arrays.copyOf(good, cut))
+      assert(e.status != null)
+    }
+    // zip with a document.xml that is not valid xml
+    val bad = ZipGen.zip(Seq("word/document.xml" -> "<<<not xml".getBytes))
+    val e = Extractor.extract("u", bad)
+    assert(e.status == "failed" && e.message == "no text content")
+    assert(OoxmlParser.decodeXml("&amp;&#65;&#x42;&bogus;&lt;") == "&AB&bogus;<")
   }
 
   test("flate-compressed content streams decode") {

@@ -30,20 +30,25 @@ class GoldenSpec extends AnyFunSuite {
     assert(expLines.size > 1, "fixtures/expected.tsv missing — run GenGoldens")
     val expected = expLines.stream().skip(1).toArray.map(_.toString).map { line =>
       val f = line.split("\t", -1)
-      f(0) -> ((f(1), f(2), f(3).toLong, f(4).toInt, f(5)))
+      f(0) -> ((f(1), f(2), f(3).toLong, f(4).toInt, f(5), f(6), f(7), f(8).toInt, f(9).toLong))
     }.toMap
 
     assert(out.keySet == expected.keySet,
       s"url set mismatch: missing=${(expected.keySet -- out.keySet).take(3)} " +
         s"extra=${(out.keySet -- expected.keySet).take(3)}")
 
-    expected.foreach { case (url, (status, mime, textBytes, spanCount, message)) =>
+    expected.foreach { case (url, (status, mime, textBytes, spanCount, message,
+        kind, pdfVersion, nAtts, attBytes)) =>
       val e = out(url)
       assert(e.status == status, s"$url status ${e.status} != $status (${e.message})")
       assert(e.mimeType == mime, s"$url mime")
       assert(e.textBytes == textBytes, s"$url textBytes")
       assert(e.spans.length == spanCount, s"$url spanCount")
       assert(Option(e.message).getOrElse("") == message, s"$url message")
+      assert(e.detectedKind == kind, s"$url detectedKind ${e.detectedKind} != $kind")
+      assert(e.pdfVersion == pdfVersion, s"$url pdfVersion")
+      assert(e.attachments.length == nAtts, s"$url nAttachments")
+      assert(e.attachments.map(_.bytes.length.toLong).sum == attBytes, s"$url attBytes")
       if (status == "finished") {
         val golden = Files.readAllBytes(
           Paths.get("fixtures/golden", GenGoldens.sha256(url) + ".txt"))
