@@ -43,12 +43,20 @@ object Main {
         case "extract" =>
           val pagesPath = args(1)
           val outputRoot = args(2)
+          val (posArgs, optArgs) = args.drop(3).partition(!_.contains("="))
           val partitions =
-            if (args.length > 3) args(3).toInt
+            if (posArgs.nonEmpty) posArgs.head.toInt
             else spark.sparkContext.defaultParallelism
+          // option validation up front (set_options 400 analog,
+          // utils.py:45-96): a bad option fails BEFORE the scan starts
+          val opts = graft.pipeline.JobOptions.parseArgs(optArgs.toSeq) match {
+            case Left(msg) => System.err.println(s"[graft] invalid options: $msg"); sys.exit(2)
+            case Right(o) => o
+          }
           val pages = spark.read.parquet(pagesPath)
           val id = ExtractPipeline.runAndCommit(spark, pages, outputRoot,
-            ExtractPipeline.Config(partitions = partitions))
+            ExtractPipeline.Config(partitions = partitions,
+              outputPdfVersion = opts.outputPdfVersion))
           if (id < 0) println("[graft] nothing to do: all urls already committed")
           else {
             println(s"[graft] committed snapshot $id -> $outputRoot")
@@ -80,7 +88,10 @@ object Main {
   private def usage(): Unit =
     System.err.println(
       """usage: graft.Main gen <rows> <pagesParquet>
-        |       graft.Main extract <pagesParquet> <outputRoot> [partitions]
+        |       graft.Main extract <pagesParquet> <outputRoot> [partitions] [key=value...]
+        |         options: conversion-format=text|spans|pdfa
+        |                  output-pdf-version=1|2|3   (attachment re-attach policy)
+        |                  thumbnails=WxH
         |       graft.Main stream <pagesDir> <outputDir> <checkpointDir>
         |       graft.Main sweep <outputRoot>
         |       graft.Main compact <outputRoot>""".stripMargin)

@@ -38,16 +38,16 @@ import graft.table.SnapshotTable
   *    pruning plus the narrow projection keeps them off the wire entirely.
   *  - Skew (north_rule "explicit skew handling"): docs above giantThreshold
   *    are byte-skew outliers (100 MB nginx cap analog, nginx.conf:46-47).
-  *    The giant-URL set is collected from a length scan and broadcast; the
-  *    split is semi/anti joins on the RAW scan so the dedup aggregate is
-  *    never recomputed (a filter-Union diamond over the aggregate would
-  *    execute it once per branch — Spark does not share subplans). Each
-  *    branch deduplicates the COMPLETE version set of its urls, so winners
-  *    are identical to a global dedup. Giants then get a dedicated
-  *    round-robin exchange (~1% of bytes) for one-giant-per-task placement.
-  *    At 10^12 docs the giant-url set (~1%) is too big to broadcast — the
-  *    production variant keeps a persisted byte-length column and
-  *    partitions the source by length tier instead; same plan shape.
+  *    The split is POST-dedup on winner length: the small branch keeps the
+  *    aggregate's hash(url) partitioning (a filter preserves partitioning,
+  *    no exchange), the giant branch (~1% of rows) gets a dedicated
+  *    round-robin exchange for one-giant-per-task placement. The branches
+  *    form a filter diamond over the SAME aggregate and ReuseExchange
+  *    collapses their identical shuffle subtrees — payload scanned once,
+  *    shuffle-written once, shuffle-read twice (the deliberate, bounded
+  *    cost). Nothing is collected or broadcast, so the plan is size-
+  *    independent: it survives 10^12 docs where a giant-URL broadcast
+  *    (1% of urls >> broadcast limit) breaks.
   *  - Extraction is a narrow typed map with per-partition init (UnoServer
   *    warmup analog, docsbox/__init__.py:64-65); it never throws — bad rows
   *    become status rows (tasks.py:102-103).
@@ -71,7 +71,10 @@ object ExtractPipeline {
         * task memory for the winner map (buckets are sized at write time);
         * giant-doc skew is bounded by the bucket layout, residual skew is
         * handled by the per-doc work caps (HtmlParser.MaxNodes). */
-      assumeColocated: Boolean = false)
+      assumeColocated: Boolean = false,
+      /** Target PDF/A version: drives the attachment re-attach policy
+        * (ops.Attachments, utils.py:464-507). "3" = keep all (default). */
+      outputPdfVersion: String = "3")
 
   /** Last-write-wins per url via a window — the reference implementation of
     * the dedup semantics (Redis key overwrite analog, views.py:255,271);
@@ -142,8 +145,21 @@ object ExtractPipeline {
     }
   }
 
-  /** Build the extraction-input plan: split, (resume), dedup, place.
-    * `done` = committed urls for idempotent resume (None on first run). */
+  /** Build the extraction-input plan: dedup, (resume), split giants, place.
+    * `done` = committed urls for idempotent resume (None on first run).
+    *
+    * Giant handling (north_rule "explicit skew handling") is POST-dedup:
+    * the global winner set is computed once by the fused aggregate (the one
+    * payload shuffle), then split by winner length — the small branch keeps
+    * the aggregate's hash(url) partitioning untouched (filter preserves
+    * partitioning), the giant branch (~1% of rows) gets a dedicated
+    * round-robin exchange for one-giant-per-task placement. The two
+    * branches are a filter diamond over the SAME aggregate: Spark's
+    * ReuseExchange collapses their identical shuffle subtrees, so payload
+    * bytes are scanned once and shuffle-WRITTEN once (the reduce side reads
+    * the shuffle twice — verified in PLANS.md). No url set is ever
+    * collected or broadcast, so the plan survives 10^12 docs where the
+    * round-1 giant-url broadcast (1% of urls >> broadcast limit) breaks. */
   private def planInput(pages: DataFrame, cfg: Config, done: Option[DataFrame]): Dataset[RawDoc] = {
     val spark = pages.sparkSession
     import spark.implicits._
@@ -158,29 +174,59 @@ object ExtractPipeline {
       case None => df
     }
 
-    def prep(df: DataFrame): DataFrame =
+    val winners =
       if (cfg.assumeUnique)
-        minusDone(df).select(col("url"), col("html"))
+        minusDone(narrow).select(col("url"), col("html"))
           .repartition(cfg.partitions, pmod(xxhash64(col("url")), lit(cfg.partitions)))
-      else minusDone(dedupNarrow(df))
+      else minusDone(dedupNarrow(narrow))
 
     val placed =
-      if (!cfg.splitGiants) prep(narrow)
+      if (!cfg.splitGiants) winners
       else {
-        val giantUrls = broadcast(
-          narrow.where(length(col("html")) > cfg.giantThreshold)
-            .select(col("url")).distinct())
-        val small = narrow.join(giantUrls, Seq("url"), "left_anti")
-        val giant = narrow.join(giantUrls, Seq("url"), "left_semi")
-        prep(small).unionByName(prep(giant).repartition(cfg.partitions))
+        val small = winners.where(length(col("html")) <= cfg.giantThreshold)
+        val giant = winners.where(length(col("html")) > cfg.giantThreshold)
+          .repartition(cfg.partitions)
+        small.unionByName(giant)
       }
     placed.as[RawDoc]
   }
 
+  /** Narrow emptiness probe for resume: reads ONLY the url column (parquet
+    * column pruning), anti-joins committed urls, early-exits on the first
+    * remaining row. Replaces the round-1 `todo.isEmpty`, which executed the
+    * full payload shuffle once for the probe and again for the real run. */
+  private def hasWork(pages: DataFrame, done: Option[DataFrame]): Boolean = {
+    val urls = pages
+      .where(col("url").isNotNull && length(col("url")) > 0)
+      .select(col("url"))
+    val remaining = done match {
+      case Some(d) => urls.join(d.select(col("url")).distinct(), Seq("url"), "left_anti")
+      case None => urls
+    }
+    !remaining.isEmpty
+  }
+
   /** Full pipeline (no sink): pages DataFrame -> extracted Dataset. */
-  def run(pages: DataFrame, cfg: Config = Config()): Dataset[ExtractedRow] =
-    if (cfg.assumeColocated) extractColocated(pages, cfg)
-    else extractStage(planInput(pages, cfg, None), cfg)
+  def run(pages: DataFrame, cfg: Config = Config()): Dataset[ExtractedRow] = {
+    val out =
+      if (cfg.assumeColocated) extractColocated(pages, cfg)
+      else extractStage(planInput(pages, cfg, None), cfg)
+    applyAttachmentPolicy(out, cfg)
+  }
+
+  /** Attachment re-attach policy as a nested codegen'd filter over the
+    * attachments column (identity for the default "3" = keep-all). */
+  private def applyAttachmentPolicy(
+      out: Dataset[ExtractedRow], cfg: Config): Dataset[ExtractedRow] = {
+    if (cfg.outputPdfVersion == "3") out
+    else {
+      import out.sparkSession.implicits._
+      out.toDF()
+        .withColumn("attachments",
+          graft.ops.Attachments.applyPolicy(col("attachments"), cfg.outputPdfVersion))
+        .as[ExtractedRow]
+    }
+  }
 
   /** Per-status counters (log_task_completion analog, tasks.py:203-220):
     * partial+final HashAggregate, map-side combined by Catalyst. */
@@ -209,9 +255,9 @@ object ExtractPipeline {
       cfg: Config = Config()): Long = {
     val table = new SnapshotTable(outputRoot)
     val done = table.read(spark).map(_.select(col("url")))
-    val todo = planInput(pages, cfg, done)
-    if (todo.isEmpty) return -1L
-    val extracted = extractStage(todo, cfg)
+    if (!hasWork(pages, done)) return -1L
+    val extracted = applyAttachmentPolicy(
+        extractStage(planInput(pages, cfg, done), cfg), cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val id = table.commit(extracted.toDF(), Map(

@@ -78,15 +78,20 @@ final class SnapshotTable(val root: String) {
   }
 
   /** Append `df` as a new snapshot; returns the committed snapshot id.
-    * Visible only after the atomic CURRENT replace. */
+    * Visible only after the atomic CURRENT replace. The manifest row count
+    * is captured DURING the write via `observe` — no re-read of the
+    * freshly-written output (a full extra scan at 100 TB). */
   def commit(df: DataFrame, meta: Map[String, String] = Map.empty): Long = {
     val parent = currentSnapshotId.getOrElse(-1L)
     val id = parent + 1
     val dir = dataDir(id)
-    df.write.mode("overwrite").parquet(dir.toString)
+    val obs = org.apache.spark.sql.Observation(s"graft-commit-$id")
+    df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(dir.toString)
     val files = Files.list(dir).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
-    val rows = df.sparkSession.read.parquet(dir.toString).count()
+    val rows = obs.get("rows").asInstanceOf[Long]
     writeManifest(Manifest(id, parent, files, rows, meta))
     val tmp = Paths.get(root, ".CURRENT.tmp")
     Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
@@ -117,10 +122,13 @@ final class SnapshotTable(val root: String) {
     val oldChain = snapshotChain
     val id = oldChain.head + 1
     val dir = dataDir(id)
-    current.write.mode("overwrite").parquet(dir.toString)
+    val obs = org.apache.spark.sql.Observation(s"graft-compact-$id")
+    current.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(dir.toString)
     val files = Files.list(dir).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
-    val rows = spark.read.parquet(dir.toString).count()
+    val rows = obs.get("rows").asInstanceOf[Long]
     writeManifest(Manifest(id, -1L, files, rows, meta)) // -1: new base, no parent
     val tmp = Paths.get(root, ".CURRENT.tmp")
     Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))

@@ -13,7 +13,16 @@ object ExplainPlans {
     val d = "/root/testdata/sf0.01"
     def p(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       println(s"########## $name")
-      println(df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode).take(2800))
+      // formatted mode: compact operator tree first, details after a blank
+      // line — print the tree (exchanges, aggregates, reuse) plus pushdown
+      // details, skip the serializer noise
+      val full = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      val tree = full.split("\n\n").head
+      println(tree.take(4000))
+      full.linesIterator
+        .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema") ||
+          l.contains("Arguments: hashpartitioning") || l.contains("RoundRobin"))
+        .take(12).foreach(l => println(l.take(240)))
     }
     // pushdown check: filter + projection on lineitem
     p("pushdown", s.read.parquet(s"$d/lineitem.parquet")

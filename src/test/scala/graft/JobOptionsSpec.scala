@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.JobOptions
+
+/** Option-validation matrix (set_options analog, utils.py:45-96): the
+  * expectation-table-as-code for every accept/reject rule. */
+class JobOptionsSpec extends AnyFunSuite {
+
+  test("defaults: empty options validate to text/v3/no thumbnails") {
+    assert(JobOptions.validate(Map.empty) ==
+      Right(JobOptions.Options("text", "3", None)))
+  }
+
+  test("conversion-format: allowed per family, rejected otherwise") {
+    assert(JobOptions.validate(Map("conversion-format" -> "spans")).isRight)
+    assert(JobOptions.validate(Map("conversion-format" -> "pdfa")).isRight)
+    val bad = JobOptions.validate(Map("conversion-format" -> "docx"))
+    assert(bad.isLeft && bad.swap.exists(_.contains("not a supported conversion format")))
+  }
+
+  test("output-pdf-version: 1|2|3 only (the reference's exact rule)") {
+    Seq("1", "2", "3").foreach { v =>
+      assert(JobOptions.validate(Map("output-pdf-version" -> v)) ==
+        Right(JobOptions.Options(outputPdfVersion = v)))
+    }
+    Seq("0", "4", "2.0", "", "two").foreach { v =>
+      assert(JobOptions.validate(Map("output-pdf-version" -> v)) ==
+        Left("Invalid 'output_pdf_version' value. Allowed are 1, 2 and 3"), v)
+    }
+  }
+
+  test("thumbnails: WxH with positive ints; everything else is a 400") {
+    assert(JobOptions.validate(Map("thumbnails" -> "120x80")) ==
+      Right(JobOptions.Options(thumbnails = Some((120, 80)))))
+    Seq("120", "x", "120x", "x80", "0x80", "120x-1", "axb", "1x2x3").foreach { t =>
+      assert(JobOptions.validate(Map("thumbnails" -> t)) ==
+        Left("Invalid 'size' value"), t)
+    }
+  }
+
+  test("unknown keys and malformed args rejected") {
+    assert(JobOptions.validate(Map("via-allowed-users" -> "x")).isLeft)
+    assert(JobOptions.parseArgs(Seq("novalue")).isLeft)
+    assert(JobOptions.parseArgs(Seq("output-pdf-version=2", "thumbnails=8x8")) ==
+      Right(JobOptions.Options(outputPdfVersion = "2", thumbnails = Some((8, 8)))))
+  }
+
+  test("attachment policy follows the validated pdf version end-to-end") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    // pages rows 75-77 are pdf-attachments categories
+    val pages = graft.corpus.CorpusWriter.pagesDs(spark, 100L, partitions = 4)
+    def attCount(version: String): Long =
+      graft.pipeline.ExtractPipeline.run(pages,
+          graft.pipeline.ExtractPipeline.Config(partitions = 4, outputPdfVersion = version))
+        .toDF()
+        .agg(sum(size(col("attachments")))).collect().head.getLong(0)
+    val v3 = attCount("3")
+    assert(v3 > 0, "corpus must contain pdf attachments")
+    assert(attCount("1") == 0, "PDF/A-1 keeps no attachments")
+    // corpus attachments are .txt payloads -> pdf-only policy keeps none
+    assert(attCount("2") == 0, "PDF/A-2 keeps only pdf attachments")
+  }
+}
