@@ -41,8 +41,11 @@ object PagesGen {
   /** Bump when generated content changes — cache paths embed it so stale
     * materialized corpora are never reused.
     * c3: ooxml/odf/zip categories, pdf-encrypted-partial, pdf-encrypt-text,
-    * attachment filespec props. */
-  val CorpusVersion = "c3"
+    * attachment filespec props.
+    * c5: pdf-attachments sometimes attach a nested PDF (v2 policy + parser
+    * isolation coverage); media-junk adds gif/jpeg/wav variants with
+    * parseable headers. */
+  val CorpusVersion = "c5"
 
   // fixed multilingual word pools (fi / sv / en flavor for `lang` variety)
   private val WordsEn = Array(
@@ -159,10 +162,17 @@ object PagesGen {
       case "pdf-simple" =>
         PdfGen.build(PdfGen.PdfSpec(pdfPages(r, lang, 2 + r.nextInt(4))))
       case "pdf-attachments" =>
-        PdfGen.build(PdfGen.PdfSpec(
-          pdfPages(r, lang, 1 + r.nextInt(2)),
-          attachments = Seq(
-            s"att-${r.nextInt(100)}.txt" -> sentence(r, lang).getBytes(StandardCharsets.UTF_8))))
+        // half also attach a NESTED PDF: exercises the v2 (pdf-only)
+        // re-attach policy and the parser's stream-extent isolation (inner
+        // content/trailer/filespec keywords must not leak into the outer doc)
+        val atts = Seq(
+          s"att-${r.nextInt(100)}.txt" -> sentence(r, lang).getBytes(StandardCharsets.UTF_8)) ++
+          (if (r.nextBool(0.5))
+            Seq(s"att-${r.nextInt(100)}.pdf" ->
+              PdfGen.build(PdfGen.PdfSpec(Seq(Seq(sentence(r, lang))))))
+          else Nil)
+        PdfGen.build(PdfGen.PdfSpec(pdfPages(r, lang, 1 + r.nextInt(2)),
+          attachments = atts))
       case "pdf-already-done" =>
         PdfGen.build(PdfGen.PdfSpec(pdfPages(r, lang, 1), pdfaMarker = true))
       case "pdf-encrypted" =>
@@ -192,7 +202,7 @@ object PagesGen {
         ZipGen.zip(Seq("data/readme.bin" -> junk))
       case "pdf-bad-coords" =>
         PdfGen.build(PdfGen.PdfSpec(pdfPages(r, lang, 1), badCoords = true))
-      case "media-junk" => mediaJunk(r, ((idx / 100) % 3).toInt)
+      case "media-junk" => mediaJunk(r, ((idx / 100) % 6).toInt)
       case "random-junk" => randomJunk(r)
       case "truncated" =>
         // valid PDF prefix cut before any content stream completes
@@ -296,10 +306,12 @@ object PagesGen {
     }
 
   private def mediaJunk(r: Rng, variant: Int): Array[Byte] = {
+    // every variant has a VALID, parseable header (the part ops.Multimodal
+    // really reads) followed by junk body bytes
     val sig: Array[Byte] = variant match {
       case 0 => Array[Byte](0, 0, 0, 0x20, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm') // mp4
       case 1 => "fLaC".getBytes(StandardCharsets.US_ASCII) // flac
-      case _ => // png with a VALID IHDR chunk so header metadata is parseable
+      case 2 => // png with a VALID IHDR chunk so header metadata is parseable
         val w = 16 + r.nextInt(2048)
         val h = 16 + r.nextInt(2048)
         Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
@@ -307,6 +319,30 @@ object PagesGen {
           (w >>> 24).toByte, (w >>> 16).toByte, (w >>> 8).toByte, w.toByte,
           (h >>> 24).toByte, (h >>> 16).toByte, (h >>> 8).toByte, h.toByte,
           8, 2, 0, 0, 0)
+      case 3 => // gif: logical screen size LE16 at 6/8
+        val w = 16 + r.nextInt(2048)
+        val h = 16 + r.nextInt(2048)
+        "GIF89a".getBytes(StandardCharsets.US_ASCII) ++
+          Array[Byte](w.toByte, (w >>> 8).toByte, h.toByte, (h >>> 8).toByte, 0, 0, 0)
+      case 4 => // jpeg: SOI + SOF0 frame header (height BE16 +5, width +7)
+        val w = 16 + r.nextInt(2048)
+        val h = 16 + r.nextInt(2048)
+        Array[Byte](0xff.toByte, 0xd8.toByte,
+          0xff.toByte, 0xc0.toByte, 0, 17, 8,
+          (h >>> 8).toByte, h.toByte, (w >>> 8).toByte, w.toByte,
+          3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+      case 5 => // wav: RIFF/WAVE + canonical fmt chunk (rate LE32, channels LE16)
+        val rate = Array(8000, 16000, 22050, 44100, 48000)(r.nextInt(5))
+        val ch = 1 + r.nextInt(2)
+        "RIFF".getBytes(StandardCharsets.US_ASCII) ++
+          Array[Byte](36, 1, 0, 0) ++
+          "WAVEfmt ".getBytes(StandardCharsets.US_ASCII) ++
+          Array[Byte](16, 0, 0, 0, 1, 0, ch.toByte, 0,
+            rate.toByte, (rate >>> 8).toByte, (rate >>> 16).toByte, (rate >>> 24).toByte,
+            0, 0, 0, 0, 0, 0, 16, 0) ++
+          "data".getBytes(StandardCharsets.US_ASCII) ++ Array[Byte](0, 1, 0, 0)
+      case _ => // unreachable (variant is %6); keep mp4 for safety
+        Array[Byte](0, 0, 0, 0x20, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm')
     }
     val tail = new Array[Byte](256 + r.nextInt(256))
     var i = 0

@@ -50,8 +50,10 @@ object PdfParser {
       if (!s.contains("%%EOF")) return PdfFailure("truncated payload")
       // probes are RESTRICTED to the governing structures — a content
       // stream whose TEXT mentions "/Encrypt" or "pdfaid:part" must not
-      // flip the document's state (round-1 false-positive risk)
-      encryptionState(s) match {
+      // flip the document's state (round-1 false-positive risk), and
+      // keywords inside ATTACHED file bytes must not read as outer objects
+      val ext = new StreamExtents(s)
+      encryptionState(s, ext) match {
         case EncNone =>
         case EncPartial => return PdfEncrypted(partial = true)
         case EncFull => return PdfEncrypted(partial = false)
@@ -91,7 +93,7 @@ object PdfParser {
           emitted += 1
         }
       }
-      PdfText(sb.toString, spans.toVector, attachments(s), pageTexts.length)
+      PdfText(sb.toString, spans.toVector, attachments(s, ext), pageTexts.length)
     } catch {
       case _: OutOfRange => PdfFailure("out-of-range coordinates")
       // never-throw within reason: NonFatal + StackOverflowError (deep
@@ -135,35 +137,51 @@ object PdfParser {
     ""
   }
 
-  /** The dict of object `num 0 obj`; empty if absent. */
-  private def objDict(s: String, num: Int): String = {
+  /** The dict of object `num 0 obj` (outside stream data); empty if absent. */
+  private def objDict(s: String, num: Int, ext: StreamExtents): String = {
     val key = s"$num 0 obj"
     var i = s.indexOf(key)
     while (i >= 0) {
-      // require a non-digit before the number so "12 0 obj" != "2 0 obj"
-      if (i == 0 || !Character.isDigit(s.charAt(i - 1))) return dictAfter(s, i + key.length)
+      // require a non-digit before the number so "12 0 obj" != "2 0 obj";
+      // ignore matches inside stream bodies (an attached PDF's own objects)
+      if ((i == 0 || !Character.isDigit(s.charAt(i - 1))) && !ext.inside(i))
+        return dictAfter(s, i + key.length)
       i = s.indexOf(key, i + 1)
     }
     ""
   }
 
+  /** Byte extents of all stream bodies — structural probes must ignore
+    * keywords ("trailer", "/Filespec", "N 0 obj") that occur INSIDE stream
+    * data (e.g. inside an attached PDF's bytes). */
+  private final class StreamExtents(s: String) {
+    private val arr = {
+      val b = ArrayBuffer.empty[(Int, Int)]
+      streamWalk(s)((_, a, e) => b += ((a, e)))
+      b
+    }
+    def inside(p: Int): Boolean = arr.exists(x => p >= x._1 && p < x._2)
+  }
+
   /** Encryption state from the TRAILER dict(s) only: resolve the /Encrypt
     * reference and classify by the /U entry (empty-user-password check). */
-  private def encryptionState(s: String): EncState = {
+  private def encryptionState(s: String, ext: StreamExtents): EncState = {
     var t = s.indexOf("trailer")
     while (t >= 0) {
-      val dict = dictAfter(s, t + 7)
-      val e = dict.indexOf("/Encrypt")
-      if (e >= 0) {
-        // parse the reference "N 0 R" (or inline dict) after /Encrypt
-        var i = e + 8
-        while (i < dict.length && dict.charAt(i) == ' ') i += 1
-        val st = i
-        while (i < dict.length && Character.isDigit(dict.charAt(i))) i += 1
-        val encDict =
-          if (i > st) objDict(s, dict.substring(st, i).toInt)
-          else dictAfter(dict, e) // inline encryption dict
-        return if (uIsPadding(encDict)) EncPartial else EncFull
+      if (!ext.inside(t)) {
+        val dict = dictAfter(s, t + 7)
+        val e = dict.indexOf("/Encrypt")
+        if (e >= 0) {
+          // parse the reference "N 0 R" (or inline dict) after /Encrypt
+          var i = e + 8
+          while (i < dict.length && dict.charAt(i) == ' ') i += 1
+          val st = i
+          while (i < dict.length && Character.isDigit(dict.charAt(i))) i += 1
+          val encDict =
+            if (i > st) objDict(s, dict.substring(st, i).toInt, ext)
+            else dictAfter(dict, e) // inline encryption dict
+          return if (uIsPadding(encDict)) EncPartial else EncFull
+        }
       }
       t = s.indexOf("trailer", t + 7)
     }
@@ -192,28 +210,21 @@ object PdfParser {
   }
 
   /** PDF/A version ("1B") from XMP METADATA streams only (dict marked
-    * /Metadata or /Subtype /XML) — utils.py:223-238 + get_pdfa_version. */
+    * /Metadata or /Subtype /XML) — utils.py:223-238 + get_pdfa_version.
+    * Embedded-file streams are excluded by the /Length-aware walk: an
+    * ATTACHED PDF/A file must not mark the outer document. */
   private def pdfaVersion(s: String): String = {
-    var i = s.indexOf("stream")
-    while (i >= 0) {
-      var dataStart = i + 6
-      if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
-      if (dataStart < s.length && s.charAt(dataStart) == '\n') {
-        dataStart += 1
-        val end = s.indexOf("endstream", dataStart)
-        val dataEnd = if (end < 0) s.length else end
-        val objStart = s.lastIndexOf(" obj", i)
-        val dict = if (objStart < 0) "" else s.substring(objStart, i)
-        if (dict.contains("/Metadata") || dict.contains("/Subtype /XML")) {
-          val body = s.substring(dataStart, dataEnd)
-          val part = xmpValue(body, "pdfaid:part")
-          if (part.nonEmpty)
-            return part + xmpValue(body, "pdfaid:conformance")
-        }
-        i = s.indexOf("stream", if (end < 0) s.length else end + 9)
-      } else i = s.indexOf("stream", i + 6)
+    var found = ""
+    streamWalk(s) { (dict, dataStart, dataEnd) =>
+      if (found.isEmpty && !dict.contains("/EmbeddedFile") &&
+          (dict.contains("/Metadata") || dict.contains("/Subtype /XML"))) {
+        val body = s.substring(dataStart, dataEnd)
+        val part = xmpValue(body, "pdfaid:part")
+        if (part.nonEmpty)
+          found = part + xmpValue(body, "pdfaid:conformance")
+      }
     }
-    ""
+    found
   }
 
   /** `<name>value</...>` element or `name="value"` attribute form. */
@@ -233,9 +244,14 @@ object PdfParser {
     ""
   }
 
-  /** All decoded stream bodies that are plausibly content streams. */
-  private def contentStreams(s: String): Vector[String] = {
-    val out = Vector.newBuilder[String]
+  /** Walk every stream object: (dict, dataStart, dataEnd) -> callback.
+    * The extent honors /Length when present — CRITICAL for embedded-file
+    * streams that themselves contain "stream"/"endstream" keywords (an
+    * attached PDF): scanning for the first "endstream" would truncate the
+    * body and resume the walk INSIDE the attachment, leaking its content
+    * streams into the outer document. Falls back to the endstream scan for
+    * malformed /Length. */
+  private def streamWalk(s: String)(f: (String, Int, Int) => Unit): Unit = {
     var i = s.indexOf("stream")
     while (i >= 0) {
       // require the keyword to be followed by an EOL (PDF spec)
@@ -243,22 +259,53 @@ object PdfParser {
       if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
       if (dataStart < s.length && s.charAt(dataStart) == '\n') {
         dataStart += 1
-        val end = s.indexOf("endstream", dataStart)
-        val dataEnd = if (end < 0) s.length else end
         // the governing dict: from the enclosing "N 0 obj" to "stream"
         val objStart = s.lastIndexOf(" obj", i)
         val dict = if (objStart < 0) "" else s.substring(objStart, i)
-        val raw = s.substring(dataStart, dataEnd)
-        val isXml = dict.contains("/Subtype /XML") || dict.contains("/Metadata")
-        if (!isXml) {
-          val body =
-            if (dict.contains("/FlateDecode")) inflate(raw)
-            else raw
-          if (body != null) out += body
+        val lenEnd = {
+          val l = dict.indexOf("/Length")
+          if (l < 0) -1
+          else {
+            var j = l + 7
+            while (j < dict.length && dict.charAt(j) == ' ') j += 1
+            val st = j
+            while (j < dict.length && Character.isDigit(dict.charAt(j))) j += 1
+            if (j == st) -1
+            else {
+              val e = dataStart + dict.substring(st, j).toLong
+              // trust /Length only if "endstream" actually follows it
+              // (within an EOL or two)
+              val idx = if (e >= 0 && e <= s.length - 9) s.indexOf("endstream", e.toInt) else -1
+              if (idx >= 0 && idx - e <= 2) e.toInt else -1
+            }
+          }
         }
-        i = s.indexOf("stream", if (end < 0) s.length else end + 9)
+        val dataEnd =
+          if (lenEnd >= 0) lenEnd
+          else { val e = s.indexOf("endstream", dataStart); if (e < 0) s.length else e }
+        f(dict, dataStart, dataEnd)
+        val resume = s.indexOf("endstream", dataEnd)
+        i = s.indexOf("stream", if (resume < 0) s.length else resume + 9)
       } else {
         i = s.indexOf("stream", i + 6)
+      }
+    }
+  }
+
+  /** All decoded stream bodies that are plausibly content streams.
+    * XMP/metadata and embedded-file (attachment payload) streams are
+    * excluded — their bytes are NOT document content. */
+  private def contentStreams(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    streamWalk(s) { (dict, dataStart, dataEnd) =>
+      val skip = dict.contains("/Subtype /XML") || dict.contains("/Metadata") ||
+        dict.contains("/EmbeddedFile")
+      if (!skip) {
+        val raw = s.substring(dataStart, dataEnd)
+        val body =
+          if (dict.contains("/FlateDecode")) inflate(raw)
+          else raw
+        if (body != null) out += body
       }
     }
     out.result()
@@ -450,20 +497,22 @@ object PdfParser {
     * referenced /EF embedded-file stream, and the filespec props that
     * survive a re-attach (utils.py:440-461, 488-495: /Desc, /CreationDate,
     * /ModDate). Stream length is taken from /Length (exact bytes). */
-  private def attachments(s: String): Vector[Attachment] = {
+  private def attachments(s: String, ext: StreamExtents): Vector[Attachment] = {
     val out = Vector.newBuilder[Attachment]
     var i = s.indexOf("/Filespec")
     while (i >= 0) {
-      val objStart = s.lastIndexOf(" obj", i)
-      val dict = dictAfter(s, if (objStart < 0) i else objStart, searchLimit = 2048)
-      val name = literalProp(dict, "/F")
-      if (name != null) {
-        val props = Map.newBuilder[String, String]
-        Seq("/Desc", "/CreationDate", "/ModDate").foreach { k =>
-          val v = literalProp(dict, k)
-          if (v != null) props += k.stripPrefix("/") -> v
+      if (!ext.inside(i)) { // skip filespecs inside attached-PDF bytes
+        val objStart = s.lastIndexOf(" obj", i)
+        val dict = dictAfter(s, if (objStart < 0) i else objStart, searchLimit = 2048)
+        val name = literalProp(dict, "/F")
+        if (name != null) {
+          val props = Map.newBuilder[String, String]
+          Seq("/Desc", "/CreationDate", "/ModDate").foreach { k =>
+            val v = literalProp(dict, k)
+            if (v != null) props += k.stripPrefix("/") -> v
+          }
+          out += Attachment(name, embeddedFileBytes(s, dict, ext), props.result())
         }
-        out += Attachment(name, embeddedFileBytes(s, dict), props.result())
       }
       i = s.indexOf("/Filespec", i + 9)
     }
@@ -471,7 +520,8 @@ object PdfParser {
   }
 
   /** Resolve `/EF << /F N 0 R >>` -> object N's stream body (exact /Length). */
-  private def embeddedFileBytes(s: String, filespecDict: String): Array[Byte] = {
+  private def embeddedFileBytes(s: String, filespecDict: String,
+      ext: StreamExtents): Array[Byte] = {
     val ef = filespecDict.indexOf("/EF")
     if (ef < 0) return Array.emptyByteArray
     val fRef = filespecDict.indexOf("/F ", ef)
@@ -482,10 +532,10 @@ object PdfParser {
     while (i < filespecDict.length && Character.isDigit(filespecDict.charAt(i))) i += 1
     if (i == st) return Array.emptyByteArray
     val num = filespecDict.substring(st, i).toInt
-    // locate object num's dict + stream data
+    // locate object num's dict + stream data (outside other streams' bytes)
     val key = s"$num 0 obj"
     var o = s.indexOf(key)
-    while (o >= 0 && o > 0 && Character.isDigit(s.charAt(o - 1)))
+    while (o >= 0 && ((o > 0 && Character.isDigit(s.charAt(o - 1))) || ext.inside(o)))
       o = s.indexOf(key, o + 1)
     if (o < 0) return Array.emptyByteArray
     val dict = dictAfter(s, o + key.length)

@@ -26,8 +26,16 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .select(col(idCol), col("dup_count"))
 
-  /** Distinct word n-gram shingles of `textCol` (lowercased). */
-  def shingles(textCol: Column, n: Int): Column = {
+  /** Distinct word n-gram shingles of `textCol` (lowercased). Backed by the
+    * native one-pass [[org.apache.spark.sql.graftexpr.WordShingles]]
+    * expression (the interpreted HOF pipeline was the cost left in d05
+    * after the signature went native). */
+  def shingles(textCol: Column, n: Int): Column =
+    org.apache.spark.sql.graftexpr.GraftExpr.word_shingles(textCol, n)
+
+  /** Reference HOF formulation of [[shingles]], kept for cross-checking the
+    * native expression in tests (identical trim/split/slice semantics). */
+  def shinglesHof(textCol: Column, n: Int): Column = {
     val words = split(trim(lower(textCol)), "\\s+")
     array_distinct(
       transform(

@@ -29,7 +29,9 @@ object Multimodal {
       mediaType: String, // image/png, video/mp4, audio/flac, ...
       byteLen: Long,
       width: Int, // -1 when not parseable / not an image
-      height: Int)
+      height: Int,
+      sampleRate: Int, // -1 when not parseable / not audio
+      channels: Int)
 
   case class MediaFeature(
       url: String,
@@ -48,6 +50,56 @@ object Multimodal {
     if (b.length >= 24 && (b(12) & 0xff) == 'I' && (b(13) & 0xff) == 'H')
       (beInt(b, 16), beInt(b, 20))
     else (-1, -1)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    if (b.length < off + 2) -1 else (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    if (b.length < off + 4) -1
+    else (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def be16(b: Array[Byte], off: Int): Int =
+    if (b.length < off + 2) -1 else ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+
+  /** Real header parse: GIF logical-screen width/height (LE16 at 6/8). */
+  def gifDims(b: Array[Byte]): (Int, Int) =
+    if (b.length >= 10) (le16(b, 6), le16(b, 8)) else (-1, -1)
+
+  /** Real header parse: JPEG — walk marker segments to the first SOF0/1/2
+    * frame header; height BE16 at +5, width at +7 within the segment. */
+  def jpegDims(b: Array[Byte]): (Int, Int) = {
+    var i = 2 // past FFD8
+    var guard = 0
+    while (i + 4 <= b.length && guard < 64) {
+      guard += 1
+      if ((b(i) & 0xff) != 0xff) return (-1, -1)
+      val marker = b(i + 1) & 0xff
+      if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
+        return (be16(b, i + 7), be16(b, i + 5))
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+      else i += 2 + be16(b, i + 2)
+    }
+    (-1, -1)
+  }
+
+  /** Real header parse: WAV fmt chunk — (sampleRate, channels); the fmt
+    * chunk is at offset 12 in canonical RIFF/WAVE files (walks chunks). */
+  def wavMeta(b: Array[Byte]): (Int, Int) = {
+    if (b.length < 36 || !(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
+      return (-1, -1)
+    var i = 12
+    var guard = 0
+    while (i + 8 <= b.length && guard < 32) {
+      guard += 1
+      val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
+      val size = le32(b, i + 4)
+      if (isFmt) return (le32(b, i + 12), le16(b, i + 10))
+      if (size < 0) return (-1, -1)
+      i += 8 + size + (size & 1)
+    }
+    (-1, -1)
+  }
 
   /** STUB decode -> feature vector. Deterministic pure function of the
     * payload bytes (splittable-hash expansion) standing in for a real
@@ -75,8 +127,14 @@ object Multimodal {
         val b = r.getAs[Array[Byte]](1)
         val mime = Sniffer.sniff(b)
         if (mime.startsWith("image/") || mime.startsWith("video/") || mime.startsWith("audio/")) {
-          val (w, h) = if (mime == "image/png") pngDims(b) else (-1, -1)
-          Some(MediaMeta(url, mime, b.length.toLong, w, h))
+          val (w, h) = mime match {
+            case "image/png" => pngDims(b)
+            case "image/gif" => gifDims(b)
+            case "image/jpeg" => jpegDims(b)
+            case _ => (-1, -1)
+          }
+          val (rate, ch) = if (mime == "audio/wav") wavMeta(b) else (-1, -1)
+          Some(MediaMeta(url, mime, b.length.toLong, w, h, rate, ch))
         } else None
       }
     }

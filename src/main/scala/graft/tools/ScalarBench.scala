@@ -1,6 +1,11 @@
-package graft.corpus
+package graft.tools
+import graft.corpus.PagesGen
 import graft.extract.Extractor
-object Dbg5 {
+/** Scalar (no-Spark) extraction micro-benchmark: single-core docs/s and
+  * MB/s over the seeded corpus — the per-core number BASELINE.md's
+  * compute-bound analysis is anchored to. Run:
+  *   sbt "runMain graft.tools.ScalarBench" */
+object ScalarBench {
   def main(args: Array[String]): Unit = {
     val pages = (0L until 4000L).map(PagesGen.page)
     // warm

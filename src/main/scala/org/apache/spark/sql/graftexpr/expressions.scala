@@ -10,7 +10,7 @@ package org.apache.spark.sql.graftexpr
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -24,6 +24,10 @@ object GraftExpr {
   /** k-permutation MinHash signature of an array&lt;string&gt; column. */
   def minhash_sig(c: Column, k: Int): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(c), k))
+
+  /** Distinct word n-gram shingles of a string column. */
+  def word_shingles(c: Column, n: Int): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(c), n))
 
   /** Sequential-order cosine similarity of two double-array columns. */
   def cosine_sim(a: Column, b: Column): Column =
@@ -48,7 +52,7 @@ object GraftExpr {
   * HOF pipeline whose lambdas are interpreted per token per bit.
   */
 case class SimHash64(child: Expression) extends UnaryExpression
-    with ExpectsInputTypes with CodegenFallback {
+    with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
@@ -56,6 +60,13 @@ case class SimHash64(child: Expression) extends UnaryExpression
 
   override def nullSafeEval(input: Any): Any =
     SimHash64.of(input.asInstanceOf[UTF8String].toString)
+
+  // real codegen (not CodegenFallback): the call stays inside the
+  // surrounding WholeStageCodegen span instead of forcing an interpreted
+  // projection around it
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftexpr.SimHash64.of($c.toString())")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -110,7 +121,7 @@ object SimHash64 {
   * hot spot: 26% of the whole bench).
   */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
-    with ExpectsInputTypes with CodegenFallback {
+    with ExpectsInputTypes {
   require(k > 0, s"k must be positive, got $k")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
@@ -121,8 +132,16 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
   @transient private lazy val seeds: Array[Long] =
     Array.tabulate(k)(i => XXH64.hashInt(i, 42L))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    evalArr(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this,
+      "org.apache.spark.sql.graftexpr.MinHashSig")
+    defineCodeGen(ctx, ev, c => s"$ref.evalArr($c)")
+  }
+
+  def evalArr(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n == 0) { // match array_min-over-empty: k nulls
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -150,20 +169,84 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingles of a string, replicating the HOF
+  * formulation `array_distinct(transform(sequence(0, greatest(size(w)-n, 0)),
+  * i => concat_ws(" ", slice(w, i+1, n))))` over
+  * `w = split(trim(lower(text)), "\\s+")` EXACTLY:
+  *  - lower/trim use UTF8String semantics (Unicode lowercase; trim strips
+  *    0x20 only — NOT Java String.trim, which also strips control chars);
+  *  - split uses Java regex \s+ with limit -1 (Spark's split);
+  *  - when there are fewer than n words the single shingle is all words;
+  *  - distinct preserves first-occurrence order.
+  * One pass per row instead of five interpreted HOF evaluations — the
+  * shingling was the cost left in d05 after MinHashSig went native. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  require(n > 0, s"n must be positive, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    evalStr(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this,
+      "org.apache.spark.sql.graftexpr.WordShingles")
+    defineCodeGen(ctx, ev, c => s"$ref.evalStr($c)")
+  }
+
+  def evalStr(u: UTF8String): ArrayData = {
+    val s = u.toLowerCase.trim.toString // UTF8String lower/trim semantics
+    val words = s.split("\\s+", -1)
+    val count = math.max(words.length - n, 0) + 1
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    var i = 0
+    while (i < count) {
+      val end = math.min(i + n, words.length)
+      val sb = new java.lang.StringBuilder(32)
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** Cosine similarity of two double arrays, accumulated in double in array
   * order — the exact summation order the DuckDB oracle and the HOF
   * formulation use, so results are bit-identical across engines. */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression
-    with ExpectsInputTypes with CodegenFallback {
+    with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graftexpr.CosineSim.of($a, $b)")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.of(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+object CosineSim {
+  def of(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0
     var nx = 0.0
@@ -179,7 +262,4 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     }
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
-
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
-    copy(left = l, right = r)
 }

@@ -121,6 +121,34 @@ class ExtractorSpec extends AnyFunSuite {
     assert(e.attachments.head.props("CreationDate") == "D:20250101000000Z")
   }
 
+  test("attached PDFs are isolated: no content/flag/filespec leak-through") {
+    val innerPdfa = PdfGen.build(PdfGen.PdfSpec(Seq(Seq("INNER SECRET LINE")),
+      pdfaMarker = true))
+    val innerWithAtt = PdfGen.build(PdfGen.PdfSpec(Seq(Seq("nested body")),
+      attachments = Seq("deep.txt" -> "deep".getBytes)))
+    val outer = PdfGen.build(PdfGen.PdfSpec(Seq(Seq("outer visible line")),
+      attachments = Seq("a.pdf" -> innerPdfa, "b.pdf" -> innerWithAtt)))
+    PdfParser.parse(outer) match {
+      case PdfParser.PdfText(text, _, atts, _) =>
+        assert(text == "outer visible line", s"inner content leaked: $text")
+        // inner PDF/A marker must NOT flag the outer document
+        assert(atts.map(_.name) == Seq("a.pdf", "b.pdf"))
+        assert(java.util.Arrays.equals(atts.head.bytes, innerPdfa))
+        assert(java.util.Arrays.equals(atts(1).bytes, innerWithAtt))
+      case other => fail(s"unexpected: $other")
+    }
+    // an attached ENCRYPTED pdf must not mark the outer as encrypted
+    val innerEnc = PdfGen.build(PdfGen.PdfSpec(Seq(Seq("x")), encrypted = true))
+    val outer2 = PdfGen.build(PdfGen.PdfSpec(Seq(Seq("plain outer")),
+      attachments = Seq("enc.pdf" -> innerEnc)))
+    PdfParser.parse(outer2) match {
+      case PdfParser.PdfText(text, _, atts, _) =>
+        assert(text == "plain outer")
+        assert(java.util.Arrays.equals(atts.head.bytes, innerEnc))
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
   test("encryption states: full vs empty-user-password partial") {
     PdfParser.parse(PdfGen.build(PdfGen.PdfSpec(Seq(Seq("x")), encrypted = true))) match {
       case PdfParser.PdfEncrypted(partial) => assert(!partial)

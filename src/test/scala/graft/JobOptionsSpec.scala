@@ -58,9 +58,11 @@ class JobOptionsSpec extends AnyFunSuite {
         .toDF()
         .agg(sum(size(col("attachments")))).collect().head.getLong(0)
     val v3 = attCount("3")
+    val v2 = attCount("2")
     assert(v3 > 0, "corpus must contain pdf attachments")
     assert(attCount("1") == 0, "PDF/A-1 keeps no attachments")
-    // corpus attachments are .txt payloads -> pdf-only policy keeps none
-    assert(attCount("2") == 0, "PDF/A-2 keeps only pdf attachments")
+    // corpus mixes .txt and nested-.pdf attachments: the byte-sniffing
+    // pdf-only policy must keep some but not all
+    assert(v2 > 0 && v2 < v3, s"PDF/A-2 keeps only pdf attachments ($v2 of $v3)")
   }
 }

@@ -9,19 +9,27 @@ import graft.ops.Multimodal
   * header parsing, deterministic stub decode in mapInPandas-style batches. */
 class MultimodalSpec extends AnyFunSuite {
 
-  test("media metadata: types detected, PNG dims parsed from real headers") {
+  test("media metadata: types detected, image dims + wav format parsed") {
     val spark = TestSpark.spark
-    val pages = CorpusWriter.pagesDs(spark, 500L, partitions = 4)
+    val pages = CorpusWriter.pagesDs(spark, 700L, partitions = 4)
     val meta = Multimodal.mediaMeta(pages).collect()
     assert(meta.nonEmpty)
     val types = meta.map(_.mediaType).toSet
-    assert(types.contains("video/mp4") && types.contains("audio/flac") &&
-      types.contains("image/png"))
-    val pngs = meta.filter(_.mediaType == "image/png")
-    assert(pngs.nonEmpty)
-    pngs.foreach { m =>
-      assert(m.width >= 16 && m.width < 16 + 2048, s"width ${m.width}")
-      assert(m.height >= 16 && m.height < 16 + 2048, s"height ${m.height}")
+    assert(Set("video/mp4", "audio/flac", "image/png", "image/gif",
+      "image/jpeg", "audio/wav").subsetOf(types), s"got $types")
+    Seq("image/png", "image/gif", "image/jpeg").foreach { t =>
+      val imgs = meta.filter(_.mediaType == t)
+      assert(imgs.nonEmpty, t)
+      imgs.foreach { m =>
+        assert(m.width >= 16 && m.width < 16 + 2048, s"$t width ${m.width}")
+        assert(m.height >= 16 && m.height < 16 + 2048, s"$t height ${m.height}")
+      }
+    }
+    val wavs = meta.filter(_.mediaType == "audio/wav")
+    assert(wavs.nonEmpty)
+    wavs.foreach { m =>
+      assert(Set(8000, 16000, 22050, 44100, 48000).contains(m.sampleRate), m)
+      assert(m.channels == 1 || m.channels == 2, m)
     }
     // non-media payloads excluded
     assert(meta.forall(m => !m.mediaType.startsWith("text/")))

@@ -83,6 +83,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native WordShingles expression matches the HOF reference exactly") {
+    val both = docs.select(
+      Dedup.shingles(col("text"), 3).as("native"),
+      Dedup.shinglesHof(col("text"), 3).as("hof")).collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // edge cases: empty, whitespace-only, fewer words than n, unicode ws,
+    // leading tabs (UTF8String.trim strips 0x20 ONLY — must match HOF)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val edge = Seq("", "   ", "one", "one two", "a\tb\nc d", "\t\nx y z w",
+      "dup dup dup dup", "Ä Ö ü ß MIXED case").toDF("text")
+    val e = edge.select(
+      Dedup.shingles(col("text"), 3).as("native"),
+      Dedup.shinglesHof(col("text"), 3).as("hof")).collect()
+    e.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+      s"native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}"))
+  }
+
   test("native MinHashSig expression matches the HOF reference bit-for-bit") {
     val sh = docs.select(Dedup.shingles(col("text"), 3).as("sh"))
     val both = sh.select(
