@@ -181,6 +181,8 @@ object SparkEntry {
       Similarity.annLsh(t(s, d, "embeddings"), col("vec_id") < 20, k = 5)),
     "e03_embedding_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(t(s, d, "embeddings"), threshold = 0.45)),
+    "e04_ann_ivf" -> ((s, d) =>
+      Similarity.annIvf(t(s, d, "embeddings"), col("vec_id") < 20, k = 5)),
     // ------------------------------------------------ multimodal
     "m01_media_meta" -> ((s, d) => {
       graft.ops.Multimodal.mediaMeta(pages(s, d)).toDF().orderBy("url")

@@ -99,7 +99,11 @@ object Similarity {
   /** ANN via LSH buckets: queries only score candidates in the same bucket.
     * Recall < 1 by design; at 10^9 vectors this turns a cross join into a
     * uniform equi-join on the bucket key. Multi-probe (probe also buckets at
-    * Hamming distance 1) would raise recall — kept single-probe here. */
+    * Hamming distance 1) would raise recall — kept single-probe here.
+    * SIZE `bits` WITH THE CORPUS: expected bucket occupancy is N / 2^bits,
+    * so bits must grow with log2(N) to keep candidate sets bounded (the
+    * default 8 fits the test scale; at 10^9 vectors use ~20+, i.e.
+    * buckets of ~1k). Parameterized precisely so deployments set it. */
   def annLsh(
       emb: DataFrame,
       queryPred: Column,
@@ -125,6 +129,104 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid").as("query_id"), col("rank"),
         col("nid").as("neighbor_id"), col("cos"), col("bucket"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ------------------------------------------------------------- IVF ANN
+
+  /** Deterministic coarse quantizer: Lloyd k-means over a fixed sample (the
+    * first `sampleSize` vectors by id — stable under any partitioning),
+    * seeded init, fixed iteration count, sequential double accumulation.
+    * Centroids are tiny (nlist x dim doubles) and travel as expression
+    * literals — nothing data-sized is collected. */
+  def trainCentroids(
+      emb: DataFrame,
+      nlist: Int,
+      dim: Int = 64,
+      sampleSize: Int = 2048,
+      iters: Int = 10,
+      seed: Long = 11L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Double]] = {
+    val sample = emb.orderBy(col(idCol)).limit(sampleSize)
+      .select(asDouble(col(vecCol))).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.length >= nlist, s"sample ${sample.length} < nlist $nlist")
+    val r = new Rng(seed)
+    // init: distinct random sample points (seeded -> deterministic)
+    val centroids = {
+      val idx = scala.collection.mutable.LinkedHashSet.empty[Int]
+      while (idx.size < nlist) idx += r.nextInt(sample.length)
+      idx.toArray.map(i => sample(i).clone())
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](nlist, dim)
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < nlist) {
+          var s = 0.0
+          var i = 0
+          val n = math.min(v.length, dim)
+          while (i < n) { val d = v(i) - centroids(c)(i); s += d * d; i += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < math.min(v.length, dim)) { sums(best)(i) += v(i); i += 1 }
+      }
+      var c = 0
+      while (c < nlist) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        } // empty list keeps its previous centroid (deterministic)
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF ANN (inverted-file index, the classic FAISS coarse-quantizer
+    * layout): every vector is assigned to its nearest of `nlist` centroids
+    * (ONE narrow pass — the inverted list id is just a column); each query
+    * probes its `nprobe` nearest lists. The probe join is an equi-join on
+    * the list id, so per query only ~nprobe/nlist of the corpus is scored —
+    * at 10^9 vectors with nlist=65536, nprobe=32 that is a 0.05% scan,
+    * versus LSH's fixed-radius buckets this gives data-adaptive cells.
+    * nprobe = nlist degrades gracefully to the exact search (tested). */
+  def annIvf(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graftexpr.GraftExpr.centroid_probes
+    val cents: Seq[Seq[Double]] = trainCentroids(emb, nlist, dim,
+      idCol = idCol, vecCol = vecCol).map(_.toSeq).toSeq
+    val assigned = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+      .withColumn("list", element_at(centroid_probes(col("nvec"), cents, 1), 1))
+    val q = emb.where(queryPred)
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("list", explode(centroid_probes(col("qvec"), cents, nprobe)))
+    val scored = assigned.join(q, Seq("list"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qvec"), col("nvec")), 4).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"),
+        col("nid").as("neighbor_id"), col("cos"))
       .orderBy("query_id", "rank")
   }
 }

@@ -29,6 +29,12 @@ object GraftExpr {
   def word_shingles(c: Column, n: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(c), n))
 
+  /** Indices of the `nprobe` nearest centroids (L2) of a double-array
+    * column — the IVF coarse-quantizer assignment/probe step. */
+  def centroid_probes(c: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    ExpressionUtils.column(
+      CentroidProbes(ExpressionUtils.expression(c), centroids, nprobe))
+
   /** Sequential-order cosine similarity of two double-array columns. */
   def cosine_sim(a: Column, b: Column): Column =
     ExpressionUtils.column(
@@ -220,6 +226,55 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Indices of the `nprobe` nearest centroids (squared-L2, sequential
+  * accumulation) of a double-array vector — the IVF coarse quantizer's
+  * assignment (nprobe=1) and query-probe (nprobe>1) step in one tight loop.
+  * Ties break on the lower centroid index (deterministic). */
+case class CentroidProbes(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(centroids.nonEmpty && nprobe > 0 && nprobe <= centroids.length,
+    s"need 1 <= nprobe (${nprobe}) <= nlist (${centroids.length})")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType)
+  override def prettyName: String = "centroid_probes"
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    evalArr(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidProbes", this,
+      "org.apache.spark.sql.graftexpr.CentroidProbes")
+    defineCodeGen(ctx, ev, c => s"$ref.evalArr($c)")
+  }
+
+  def evalArr(arr: ArrayData): ArrayData = {
+    val v = arr.toDoubleArray()
+    val nlist = cents.length
+    val d2 = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      val cent = cents(c)
+      val n = math.min(v.length, cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { val d = v(i) - cent(i); s += d * d; i += 1 }
+      d2(c) = s
+      c += 1
+    }
+    // partial selection of the nprobe smallest (distance, index) pairs
+    val order = Array.range(0, nlist).sortBy(i => (d2(i), i)).take(nprobe)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      order.map(Int.box(_): AnyRef))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidProbes =
     copy(child = newChild)
 }
 

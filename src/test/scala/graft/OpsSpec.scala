@@ -102,6 +102,28 @@ class OpsSpec extends AnyFunSuite {
       s"native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}"))
   }
 
+  test("ivf ann: full probe equals exact brute-force top-k; partial probes rank correctly") {
+    val brute = Similarity.cosineTopK(emb, col("vec_id") < 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // nprobe == nlist => every list probed => EXACT search
+    val full = Similarity.annIvf(emb, col("vec_id") < 10, k = 5, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full == brute, s"missing=${brute -- full} extra=${full -- brute}")
+    // partial probe: per-query ranking must stay internally consistent and
+    // deterministic across runs
+    val p1 = Similarity.annIvf(emb, col("vec_id") < 10, k = 5, nlist = 8, nprobe = 2).collect()
+    val p2 = Similarity.annIvf(emb, col("vec_id") < 10, k = 5, nlist = 8, nprobe = 2).collect()
+    assert(p1.map(_.toString).sameElements(p2.map(_.toString)))
+    p1.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val scores = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // recall sanity vs exact on this corpus (planted clusters -> high recall)
+    val recall = (p1.map(r => (r.getLong(0), r.getLong(2))).toSet
+      .intersect(brute.map(t => (t._1, t._3))).size.toDouble) / brute.size
+    assert(recall >= 0.5, s"ivf nprobe=2/8 recall $recall")
+  }
+
   test("native MinHashSig expression matches the HOF reference bit-for-bit") {
     val sh = docs.select(Dedup.shingles(col("text"), 3).as("sh"))
     val both = sh.select(
