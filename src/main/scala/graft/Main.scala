@@ -56,7 +56,8 @@ object Main {
           val pages = spark.read.parquet(pagesPath)
           val id = ExtractPipeline.runAndCommit(spark, pages, outputRoot,
             ExtractPipeline.Config(partitions = partitions,
-              outputPdfVersion = opts.outputPdfVersion))
+              outputPdfVersion = opts.outputPdfVersion,
+              conversionFormat = opts.conversionFormat))
           if (id < 0) println("[graft] nothing to do: all urls already committed")
           else {
             println(s"[graft] committed snapshot $id -> $outputRoot")

@@ -74,7 +74,12 @@ object ExtractPipeline {
       assumeColocated: Boolean = false,
       /** Target PDF/A version: drives the attachment re-attach policy
         * (ops.Attachments, utils.py:464-507). "3" = keep all (default). */
-      outputPdfVersion: String = "3")
+      outputPdfVersion: String = "3",
+      /** Committed output projection (conversion-format analog,
+        * utils.py:57-64): "spans" (default) = full rows incl. spans +
+        * attachments; "text" = text-only table (structural columns
+        * dropped at commit). Per-table, validated by JobOptions. */
+      conversionFormat: String = "spans")
 
   /** Last-write-wins per url via a window — the reference implementation of
     * the dedup semantics (Redis key overwrite analog, views.py:255,271);
@@ -260,9 +265,15 @@ object ExtractPipeline {
         extractStage(planInput(pages, cfg, done), cfg), cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val id = table.commit(extracted.toDF(), Map(
+      val projected = cfg.conversionFormat match {
+        case "text" => extracted.toDF().drop("spans", "attachments")
+        case _ => extracted.toDF()
+      }
+      val id = table.commit(projected, Map(
         "heuristicsVersion" -> Heuristics.Version,
-        "inputSnapshotId" -> cfg.inputSnapshotId.toString))
+        "inputSnapshotId" -> cfg.inputSnapshotId.toString,
+        "conversionFormat" -> cfg.conversionFormat,
+        "outputPdfVersion" -> cfg.outputPdfVersion))
       counters(extracted).write.mode("overwrite")
         .parquet(s"$outputRoot/_counters/snap-$id")
       lineage(extracted).write.mode("overwrite")

@@ -9,9 +9,10 @@ package graft.pipeline
 object JobOptions {
 
   /** Validated job options. `outputPdfVersion` drives the attachment
-    * re-attach policy (ops.Attachments.applyPolicy). */
+    * re-attach policy (ops.Attachments.applyPolicy); `conversionFormat`
+    * the committed projection ("spans" = full rows, "text" = text-only). */
   final case class Options(
-      conversionFormat: String = "text",
+      conversionFormat: String = "spans",
       outputPdfVersion: String = "3",
       thumbnails: Option[(Int, Int)] = None)
 

@@ -8,9 +8,22 @@ import graft.pipeline.JobOptions
   * expectation-table-as-code for every accept/reject rule. */
 class JobOptionsSpec extends AnyFunSuite {
 
-  test("defaults: empty options validate to text/v3/no thumbnails") {
+  test("defaults: empty options validate to spans/v3/no thumbnails") {
     assert(JobOptions.validate(Map.empty) ==
-      Right(JobOptions.Options("text", "3", None)))
+      Right(JobOptions.Options("spans", "3", None)))
+  }
+
+  test("conversion-format=text commits a text-only projection") {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    val pages = graft.corpus.CorpusWriter.pagesDs(spark, 120L, partitions = 3)
+    val id = graft.pipeline.ExtractPipeline.runAndCommit(spark, pages, dir,
+      graft.pipeline.ExtractPipeline.Config(partitions = 4, conversionFormat = "text"))
+    assert(id >= 0)
+    val committed = new graft.table.SnapshotTable(dir).read(spark).get
+    val cols = committed.columns.toSet
+    assert(!cols.contains("spans") && !cols.contains("attachments"), cols)
+    assert(cols.contains("text") && cols.contains("status"))
   }
 
   test("conversion-format: allowed per family, rejected otherwise") {
