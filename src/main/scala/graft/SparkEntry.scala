@@ -157,7 +157,8 @@ object SparkEntry {
     }),
     // ------------------------------------------------ text/dedup ops
     "d01_exact_dedup" -> ((s, d) => {
-      Dedup.exact(t(s, d, "documents")).orderBy("doc_id")
+      Dedup.exact(t(s, d, "documents")) // unsorted: driver sorts; a global
+      // orderBy of the distinct-text set is waste at scale
     }),
     "d02_token_stats" -> ((s, d) => TextStats.tokenStats(t(s, d, "documents"))),
     "d03_quality" -> ((s, d) => TextStats.quality(t(s, d, "documents"))),
@@ -172,7 +173,6 @@ object SparkEntry {
     "d09_dedup_clusters" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Dedup.clusters(docs, Dedup.minhashPairs(docs, threshold = 0.8))
-        .orderBy("doc_id")
     }),
     // ------------------------------------------------ similarity
     "e01_cosine_topk" -> ((s, d) =>
@@ -206,8 +206,7 @@ object SparkEntry {
       out.select(col("url"), col("status"), col("mimeType"),
         col("detectedKind"), col("pdfVersion"), col("textBytes"),
         size(col("spans")).as("n_spans"), size(col("attachments")).as("n_atts"),
-        xxhash64(col("text")).as("text_hash"))
-        .orderBy("url")
+        xxhash64(col("text")).as("text_hash")) // unsorted per-doc output
     }),
     "x05_attachment_policy" -> ((s, d) => {
       // nested-data filter policy (A15, utils.py:464-507): per target

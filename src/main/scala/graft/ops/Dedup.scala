@@ -105,7 +105,8 @@ object Dedup {
       .select(col("a"), col("b"),
         round(jaccard(col("sha"), col("shb")), 4).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .orderBy("a", "b")
+    // no global orderBy: the pair set scales with the corpus dup rate — a
+    // total sort of it is waste at 10^9 docs (consumers/driver sort slices)
   }
 
   /** Brute-force n-gram Jaccard pairs (quadratic; the small-scale oracle for
@@ -220,8 +221,7 @@ object Dedup {
       .select(col("x.id").as("a"), col("y.id").as("b"),
         hamming(col("x.sig"), col("y.sig")).as("hamming"))
       .distinct()
-      .where(col("hamming") <= maxHamming)
-      .orderBy("a", "b")
+      .where(col("hamming") <= maxHamming) // unsorted: see minhashPairs note
   }
 
   /** Naive 4x16-bit-segment blocking — candidate sets explode (~N^2/2^16)
