@@ -367,6 +367,24 @@ object SparkEntry {
         |      WHEN ss >= sf THEN 'es'
         |      ELSE 'fr' END AS lang_guess
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // d05's oracle is the BRUTE-FORCE pair enumeration: on corpora where
+    // every true pair shares a band (planted near-dups at j≈0.97 — recall
+    // verified total in OpsSpec), LSH+verify must equal brute force
+    // value-for-value, which DuckDB can express. This checks the whole
+    // shingle->minhash->band->verify chain, not just the verify step.
+    "d05_minhash_pairs" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+        |   for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS g FROM toks)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        | ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.g, b.g))), 4) >= 0.8
+        |ORDER BY a, b""".stripMargin,
     "d06_jaccard_pairs" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),

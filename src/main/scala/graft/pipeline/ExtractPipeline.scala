@@ -259,6 +259,8 @@ object ExtractPipeline {
       outputRoot: String,
       cfg: Config = Config()): Long = {
     val table = new SnapshotTable(outputRoot)
+    // refuse to mix committed projections in one chain (schema consistency)
+    table.requireMetaConsistent("conversionFormat", cfg.conversionFormat)
     val done = table.read(spark).map(_.select(col("url")))
     if (!hasWork(pages, done)) return -1L
     val extracted = applyAttachmentPolicy(

@@ -61,8 +61,25 @@ final class SnapshotTable(val root: String) {
     val files = "\"files\":\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse("")
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
-    Manifest(longField("id"), longField("parentId"), files, longField("rowCount"), Map.empty)
+    val meta = "\"meta\":\\s*\\{([^}]*)\\}".r.findFirstMatchIn(json)
+      .map(_.group(1)).map { body =>
+        "\"([^\"]+)\":\\s*\"([^\"]*)\"".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2)).toMap
+      }.getOrElse(Map.empty[String, String])
+    Manifest(longField("id"), longField("parentId"), files, longField("rowCount"), meta)
   }
+
+  /** Guard against appending a snapshot whose schema-affecting meta value
+    * differs from the chain's (e.g. a text-only commit onto a full-rows
+    * table — the union read would fail on mixed schemas). */
+  def requireMetaConsistent(key: String, value: String): Unit =
+    currentSnapshotId.foreach { cur =>
+      readManifest(cur).meta.get(key).foreach { prev =>
+        require(prev == value,
+          s"table at $root has $key=$prev; refusing to append $key=$value " +
+            "(mixed snapshot schemas would break reads)")
+      }
+    }
 
   /** Chain of snapshot ids from CURRENT back to the first. */
   def snapshotChain: Seq[Long] = currentSnapshotId match {

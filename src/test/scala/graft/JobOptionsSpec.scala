@@ -24,6 +24,13 @@ class JobOptionsSpec extends AnyFunSuite {
     val cols = committed.columns.toSet
     assert(!cols.contains("spans") && !cols.contains("attachments"), cols)
     assert(cols.contains("text") && cols.contains("status"))
+    // appending a different projection to the same chain must be refused
+    val more = graft.corpus.CorpusWriter.pagesDs(spark, 240L, partitions = 3)
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.ExtractPipeline.runAndCommit(spark, more, dir,
+        graft.pipeline.ExtractPipeline.Config(partitions = 4, conversionFormat = "spans"))
+    }
+    assert(e.getMessage.contains("conversionFormat"))
   }
 
   test("conversion-format: allowed per family, rejected otherwise") {
