@@ -16,7 +16,8 @@ import graft.pipeline.ExtractPipeline
   *    window, rollup, set ops, string/date/array functions, sessionize)
   *  - d01..d09: training-data text ops (exact dedup, token stats, quality,
   *    lang-id, MinHash+LSH, brute Jaccard, SimHash, fingerprint, clusters)
-  *  - e01..e02: embedding similarity (brute-force cosine top-k, LSH ANN)
+  *  - e01..e04: embedding similarity (brute-force cosine top-k, LSH ANN,
+  *    brute near-dup pairs, IVF ANN)
   *  - x01..x05: the extraction pipeline itself on the synthetic pages
   *    corpus (no SQL oracle possible — correctness is gated by the golden
   *    byte-equality suite in `sbt test`; driver records rows>0). x05

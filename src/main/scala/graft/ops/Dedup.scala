@@ -79,9 +79,16 @@ object Dedup {
     * explode band hashes -> self-join on (band, hash) -> dedupe candidate
     * pairs -> verify Jaccard on the pair (re-joining the shingle arrays).
     * The candidate join is the only wide op; band hashes are uniform so no
-    * skew. At 10^9 docs the shingle arrays stay out of the band shuffle
-    * (only doc ids travel), joined back just for the surviving candidates.
-    */
+    * skew FROM HASHING. At 10^9 docs the shingle arrays stay out of the
+    * band shuffle (only doc ids travel), joined back just for the
+    * surviving candidates.
+    *
+    * PRECONDITION at scale: run [[exact]] dedup FIRST. Exact duplicates
+    * share every band hash, so a text repeated m times puts m ids in one
+    * bucket and m^2/2 candidate pairs in one task — at web dup rates
+    * (30-60% exact dups, some texts repeated 10^6x) that is the one skew
+    * hashing cannot fix. Near-dup detection over exact-dedup
+    * representatives is both correct and the standard pipeline order. */
   def minhashPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
