@@ -90,7 +90,7 @@ object Main {
     System.err.println(
       """usage: graft.Main gen <rows> <pagesParquet>
         |       graft.Main extract <pagesParquet> <outputRoot> [partitions] [key=value...]
-        |         options: conversion-format=text|spans|pdfa
+        |         options: conversion-format=text|spans
         |                  output-pdf-version=1|2|3   (attachment re-attach policy)
         |                  thumbnails=WxH
         |       graft.Main stream <pagesDir> <outputDir> <checkpointDir>

@@ -212,20 +212,30 @@ object SparkEntry {
     "x05_attachment_policy" -> ((s, d) => {
       // nested-data filter policy (A15, utils.py:464-507): per target
       // PDF/A version, filter the attachments array in place (codegen'd
-      // HOF, no explode) and aggregate what survives
+      // HOF, no explode). ONE pipeline pass computes all three policies
+      // as columns of one aggregate; the per-version rows are unpivoted
+      // from literals afterward (a union of three aggregates would replay
+      // the whole extraction per branch — Spark shares exchanges, not
+      // arbitrary subplans).
       val out = ExtractPipeline.run(pages(s, d), ExtractPipeline.Config(partitions = 32))
         .toDF()
         .where(size(col("attachments")) > 0)
-      Seq("1", "2", "3").map { v =>
-        out.select(
-            size(col("attachments")).as("n_in"),
-            size(graft.ops.Attachments.applyPolicy(col("attachments"), v)).as("n_kept"))
-          .agg(count(lit(1)).as("docs_with_atts"),
-            sum(col("n_in")).as("atts_in"),
-            sum(col("n_kept")).as("atts_kept"))
-          .select(lit(v).as("pdf_version"), col("docs_with_atts"),
-            col("atts_in"), col("atts_kept"))
-      }.reduce(_.unionByName(_)).orderBy("pdf_version")
+      val agg = out.select(
+          size(col("attachments")).as("n_in"),
+          size(graft.ops.Attachments.applyPolicy(col("attachments"), "1")).as("k1"),
+          size(graft.ops.Attachments.applyPolicy(col("attachments"), "2")).as("k2"))
+        .agg(count(lit(1)).as("docs_with_atts"), sum(col("n_in")).as("atts_in"),
+          sum(col("k1")).as("kept1"), sum(col("k2")).as("kept2"))
+      agg.select(explode(array(
+          struct(lit("1").as("pdf_version"), col("docs_with_atts"),
+            col("atts_in"), col("kept1").as("atts_kept")),
+          struct(lit("2").as("pdf_version"), col("docs_with_atts"),
+            col("atts_in"), col("kept2").as("atts_kept")),
+          struct(lit("3").as("pdf_version"), col("docs_with_atts"),
+            col("atts_in"), col("atts_in").as("atts_kept")))).as("r"))
+        .select(col("r.pdf_version"), col("r.docs_with_atts"),
+          col("r.atts_in"), col("r.atts_kept"))
+        .orderBy("pdf_version")
     }),
     "x04_span_kinds" -> ((s, d) => {
       // fan-out + regroup (thumbnail fan-out analog, tasks.py:186-201):

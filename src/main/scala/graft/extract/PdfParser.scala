@@ -163,29 +163,43 @@ object PdfParser {
     def inside(p: Int): Boolean = arr.exists(x => p >= x._1 && p < x._2)
   }
 
-  /** Encryption state from the TRAILER dict(s) only: resolve the /Encrypt
-    * reference and classify by the /U entry (empty-user-password check). */
+  /** Classify the /Encrypt entry found at `e` inside `dict`: resolve the
+    * "N 0 R" reference (or inline dict) and check /U for the
+    * empty-user-password padding. */
+  private def encFromDict(s: String, dict: String, e: Int, ext: StreamExtents): EncState = {
+    var i = e + 8
+    while (i < dict.length && dict.charAt(i) == ' ') i += 1
+    val st = i
+    while (i < dict.length && Character.isDigit(dict.charAt(i))) i += 1
+    val encDict =
+      if (i > st) objDict(s, dict.substring(st, i).toInt, ext)
+      else dictAfter(dict, e) // inline encryption dict
+    if (uIsPadding(encDict)) EncPartial else EncFull
+  }
+
+  /** Encryption state from the GOVERNING dicts only — classic `trailer`
+    * dicts AND cross-reference stream dicts (/Type /XRef, PDF 1.5+, which
+    * carry the trailer entries and may leave no `trailer` keyword at all).
+    * Content that merely mentions "/Encrypt" never flips the state. */
   private def encryptionState(s: String, ext: StreamExtents): EncState = {
     var t = s.indexOf("trailer")
     while (t >= 0) {
       if (!ext.inside(t)) {
         val dict = dictAfter(s, t + 7)
         val e = dict.indexOf("/Encrypt")
-        if (e >= 0) {
-          // parse the reference "N 0 R" (or inline dict) after /Encrypt
-          var i = e + 8
-          while (i < dict.length && dict.charAt(i) == ' ') i += 1
-          val st = i
-          while (i < dict.length && Character.isDigit(dict.charAt(i))) i += 1
-          val encDict =
-            if (i > st) objDict(s, dict.substring(st, i).toInt, ext)
-            else dictAfter(dict, e) // inline encryption dict
-          return if (uIsPadding(encDict)) EncPartial else EncFull
-        }
+        if (e >= 0) return encFromDict(s, dict, e, ext)
       }
       t = s.indexOf("trailer", t + 7)
     }
-    EncNone
+    // xref streams: the stream object's dict IS the trailer dict
+    var found: EncState = EncNone
+    streamWalk(s) { (dict, _, _) =>
+      if (found == EncNone && dict.contains("/XRef")) {
+        val e = dict.indexOf("/Encrypt")
+        if (e >= 0) found = encFromDict(s, dict, e, ext)
+      }
+    }
+    found
   }
 
   /** True if the /U hex string's first 32 bytes equal the spec padding. */

@@ -66,22 +66,36 @@ object Multimodal {
   def gifDims(b: Array[Byte]): (Int, Int) =
     if (b.length >= 10) (le16(b, 6), le16(b, 8)) else (-1, -1)
 
-  /** Real header parse: JPEG — walk marker segments to the first SOF0/1/2
-    * frame header; height BE16 at +5, width at +7 within the segment. */
+  /** Real header parse: JPEG — walk marker segments to the first SOF frame
+    * header (any of C0-C3, C5-C7, C9-CB, CD-CF — baseline, progressive,
+    * differential and arithmetic variants); height BE16 at +5, width at +7.
+    * Handles spec-legal 0xFF fill bytes between markers, standalone
+    * markers (TEM, RSTn), and stops at SOS/EOI (entropy data follows —
+    * scanning past it would match spurious byte patterns). */
   def jpegDims(b: Array[Byte]): (Int, Int) = {
     var i = 2 // past FFD8
     var guard = 0
-    while (i + 4 <= b.length && guard < 64) {
+    while (i + 4 <= b.length && guard < 256) {
       guard += 1
       if ((b(i) & 0xff) != 0xff) return (-1, -1)
       val marker = b(i + 1) & 0xff
-      if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
-        return (be16(b, i + 7), be16(b, i + 5))
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
-      else i += 2 + be16(b, i + 2)
+      if (marker == 0xff) i += 1 // fill byte, spec-legal padding
+      else if (isSof(marker)) return (be16(b, i + 7), be16(b, i + 5))
+      else if (marker == 0xda || marker == 0xd9) return (-1, -1) // SOS/EOI
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i += 2 // standalone
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2) return (-1, -1)
+        i += 2 + len
+      }
     }
     (-1, -1)
   }
+
+  /** SOF markers carrying frame dimensions: C0-CF except DHT (C4),
+    * JPG-extension (C8), and DAC (CC). */
+  private def isSof(m: Int): Boolean =
+    m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
 
   /** Real header parse: WAV fmt chunk — (sampleRate, channels); the fmt
     * chunk is at offset 12 in canonical RIFF/WAVE files (walks chunks). */

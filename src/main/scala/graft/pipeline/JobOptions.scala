@@ -19,11 +19,12 @@ object JobOptions {
   /** Allowed target formats per detected type family — the
     * CONVERTABLE_MIMETYPES["formats"] analog (config/config.yml:34-153).
     * Every family can emit plain text; span-preserving output exists for
-    * families with structural spans; "pdfa" only where the reference's
-    * PDF/A transform applies. */
+    * families with structural spans. Only formats the pipeline actually
+    * implements are listed — validation accepting an unimplemented format
+    * would poison the snapshot chain's meta for no behavior. */
   val FormatsByKind: Map[String, Set[String]] = Map(
     "html" -> Set("text", "spans"),
-    "pdf" -> Set("text", "spans", "pdfa"),
+    "pdf" -> Set("text", "spans"),
     "ooxml" -> Set("text", "spans"),
     "odf" -> Set("text", "spans"),
     "text" -> Set("text"))
@@ -65,12 +66,6 @@ object JobOptions {
         case _ => return Left("Invalid 'size' value")
       }
     }
-
-    // cross-field: format must be valid for SOME family that supports the
-    // requested pdf version transform ("pdfa" implies the pdf family)
-    if (opts.conversionFormat == "pdfa" &&
-        !FormatsByKind("pdf").contains("pdfa"))
-      return Left("'pdfa' conversion is only available for the pdf family")
 
     Right(opts)
   }

@@ -156,15 +156,17 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
     val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {
-      val s = arr.getUTF8String(j)
-      if (s != null) {
-        var i = 0
-        while (i < k) {
-          val h = XXH64.hashUnsafeBytes(
+      val s = if (arr.isNullAt(j)) null else arr.getUTF8String(j)
+      var i = 0
+      while (i < k) {
+        // a null element hashes to the running seed alone — exactly what
+        // the HOF twin's xxhash64(lit(i), null) yields (null args skipped)
+        val h =
+          if (s == null) seeds(i)
+          else XXH64.hashUnsafeBytes(
             s.getBaseObject, s.getBaseOffset, s.numBytes(), seeds(i))
-          if (h < mins(i)) mins(i) = h
-          i += 1
-        }
+        if (h < mins(i)) mins(i) = h
+        i += 1
       }
       j += 1
     }
@@ -257,7 +259,12 @@ case class CentroidProbes(child: Expression, centroids: Seq[Seq[Double]], nprobe
   def evalArr(arr: ArrayData): ArrayData = {
     val v = arr.toDoubleArray()
     val nlist = cents.length
-    val d2 = new Array[Double](nlist)
+    // BOUNDED selection of the nprobe smallest (distance, index) pairs:
+    // insertion into two nprobe-sized primitive arrays — no boxing, no
+    // O(nlist log nlist) sort in the per-row assignment hot path (at
+    // nlist=65536 a full boxed sort per row would dominate)
+    val bestD = Array.fill(nprobe)(Double.MaxValue)
+    val bestI = Array.fill(nprobe)(Int.MaxValue)
     var c = 0
     while (c < nlist) {
       val cent = cents(c)
@@ -265,13 +272,19 @@ case class CentroidProbes(child: Expression, centroids: Seq[Seq[Double]], nprobe
       var s = 0.0
       var i = 0
       while (i < n) { val d = v(i) - cent(i); s += d * d; i += 1 }
-      d2(c) = s
+      // ascending c: on equal distance the earlier index wins (same order
+      // as sorting by (distance, index))
+      if (s < bestD(nprobe - 1)) {
+        var p = nprobe - 1
+        while (p > 0 && s < bestD(p - 1)) {
+          bestD(p) = bestD(p - 1); bestI(p) = bestI(p - 1); p -= 1
+        }
+        bestD(p) = s; bestI(p) = c
+      }
       c += 1
     }
-    // partial selection of the nprobe smallest (distance, index) pairs
-    val order = Array.range(0, nlist).sortBy(i => (d2(i), i)).take(nprobe)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      order.map(Int.box(_): AnyRef))
+      bestI.map(Int.box(_): AnyRef))
   }
 
   override protected def withNewChildInternal(newChild: Expression): CentroidProbes =

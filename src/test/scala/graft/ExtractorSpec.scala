@@ -163,6 +163,23 @@ class ExtractorSpec extends AnyFunSuite {
     assert(e.status == "password-protected-partial")
   }
 
+  test("xref-STREAM trailers (PDF 1.5+, no 'trailer' keyword) detect /Encrypt") {
+    // hand-built: the cross-reference stream object's dict carries the
+    // trailer entries, including /Encrypt — there is no `trailer` keyword
+    val pdf = ("%PDF-1.5\n" +
+      "1 0 obj\n<< /Type /XRef /Size 3 /W [1 2 1] /Root 2 0 R /Encrypt 3 0 R /Length 4 >>\nstream\n" +
+      "    \nendstream\nendobj\n" +
+      "3 0 obj\n<< /Filter /Standard /V 2 /R 3 /P -3904 " +
+      "/U <0000000000000000000000000000000000000000000000000000000000000000> >>\nendobj\n" +
+      "startxref\n9\n%%EOF\n").getBytes(StandardCharsets.ISO_8859_1)
+    PdfParser.parse(pdf) match {
+      case PdfParser.PdfEncrypted(partial) => assert(!partial)
+      case other => fail(s"unexpected: $other")
+    }
+    val e = Extractor.extract("u", pdf)
+    assert(e.status == "password-protected")
+  }
+
   test("probes are structural: /Encrypt and pdfaid:part as TEXT extract fine") {
     val pdf = PdfGen.build(PdfGen.PdfSpec(Seq(Seq(
       "Mentions /Encrypt and pdfaid:part inside prose.", "Second line."))))
@@ -190,6 +207,12 @@ class ExtractorSpec extends AnyFunSuite {
     assert(Sniffer.sniff(ZipGen.odt("h", Seq("p"))) == Sniffer.MimeOdt)
     assert(Sniffer.sniff(ZipGen.zip(Seq("data/x.bin" -> Array[Byte](1, 2, 3)))) ==
       Sniffer.MimeZip)
+    // forged local header claiming a ~4 GB compressed size: the skip must
+    // not int-overflow into out-of-bounds reads — plain zip, no throw
+    val forged = ZipGen.zip(Seq("data/x.bin" -> Array[Byte](1, 2, 3)))
+    forged(18) = 0xff.toByte; forged(19) = 0xff.toByte
+    forged(20) = 0xff.toByte; forged(21) = 0xfe.toByte
+    assert(Sniffer.sniff(forged) == Sniffer.MimeZip)
   }
 
   test("ooxml/odf extraction round-trips paragraphs byte-exactly") {

@@ -33,11 +33,15 @@ class JobOptionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("conversionFormat"))
   }
 
-  test("conversion-format: allowed per family, rejected otherwise") {
+  test("conversion-format: implemented formats only, rejected otherwise") {
     assert(JobOptions.validate(Map("conversion-format" -> "spans")).isRight)
-    assert(JobOptions.validate(Map("conversion-format" -> "pdfa")).isRight)
-    val bad = JobOptions.validate(Map("conversion-format" -> "docx"))
-    assert(bad.isLeft && bad.swap.exists(_.contains("not a supported conversion format")))
+    assert(JobOptions.validate(Map("conversion-format" -> "text")).isRight)
+    // unimplemented/unknown formats are rejected up front (accepting a
+    // format the pipeline cannot produce would poison the chain meta)
+    Seq("pdfa", "docx", "").foreach { f =>
+      val bad = JobOptions.validate(Map("conversion-format" -> f))
+      assert(bad.isLeft && bad.swap.exists(_.contains("not a supported conversion format")), f)
+    }
   }
 
   test("output-pdf-version: 1|2|3 only (the reference's exact rule)") {

@@ -140,6 +140,14 @@ class OpsSpec extends AnyFunSuite {
       Dedup.minhashSignatureHof(col("sh"), 4).as("hof")).collect().head
     assert(e.getSeq[Any](0) == Seq(null, null, null, null))
     assert(e.getSeq[Any](0) == e.getSeq[Any](1))
+    // null ELEMENTS: the HOF hashes them as xxhash64(i) alone — native
+    // must match (it substitutes the running seed)
+    val withNull = Seq(1).toDF("x")
+      .select(array(lit("a"), lit(null).cast("string"), lit("bb")).as("sh"))
+    val wn = withNull.select(
+      Dedup.minhashSignature(col("sh"), 8).as("native"),
+      Dedup.minhashSignatureHof(col("sh"), 8).as("hof")).collect().head
+    assert(wn.getSeq[Long](0) == wn.getSeq[Long](1))
   }
 
   test("manku simhash blocking equals seg16 blocking equals brute hamming") {
