@@ -58,10 +58,10 @@ object PdfParser {
         case EncPartial => return PdfEncrypted(partial = true)
         case EncFull => return PdfEncrypted(partial = false)
       }
-      val pdfa = pdfaVersion(s)
+      val pdfa = pdfaVersion(s, ext)
       if (pdfa.nonEmpty) return PdfAlreadyPdfa(pdfa)
 
-      val streams = contentStreams(s)
+      val streams = contentStreams(s, ext)
       val pageTexts = new ArrayBuffer[Vector[(Double, Double, String)]]()
       var sawText = false
       for (data <- streams) {
@@ -151,16 +151,19 @@ object PdfParser {
     ""
   }
 
-  /** Byte extents of all stream bodies — structural probes must ignore
-    * keywords ("trailer", "/Filespec", "N 0 obj") that occur INSIDE stream
-    * data (e.g. inside an attached PDF's bytes). */
+  /** One walk's worth of stream objects: (dict, dataStart, dataEnd) for
+    * every stream, shared by all structural probes (the walk is an index
+    * scan of the whole payload — doing it once instead of once per probe
+    * matters at 100 TB). Probes must ignore keywords ("trailer",
+    * "/Filespec", "N 0 obj") that occur INSIDE stream data (e.g. inside an
+    * attached PDF's bytes) — `inside` answers that. */
   private final class StreamExtents(s: String) {
-    private val arr = {
-      val b = ArrayBuffer.empty[(Int, Int)]
-      streamWalk(s)((_, a, e) => b += ((a, e)))
+    val all: ArrayBuffer[(String, Int, Int)] = {
+      val b = ArrayBuffer.empty[(String, Int, Int)]
+      streamWalk(s)((d, a, e) => b += ((d, a, e)))
       b
     }
-    def inside(p: Int): Boolean = arr.exists(x => p >= x._1 && p < x._2)
+    def inside(p: Int): Boolean = all.exists(x => p >= x._2 && p < x._3)
   }
 
   /** Classify the /Encrypt entry found at `e` inside `dict`: resolve the
@@ -192,14 +195,13 @@ object PdfParser {
       t = s.indexOf("trailer", t + 7)
     }
     // xref streams: the stream object's dict IS the trailer dict
-    var found: EncState = EncNone
-    streamWalk(s) { (dict, _, _) =>
-      if (found == EncNone && dict.contains("/XRef")) {
+    ext.all.foreach { case (dict, _, _) =>
+      if (dict.contains("/XRef")) {
         val e = dict.indexOf("/Encrypt")
-        if (e >= 0) found = encFromDict(s, dict, e, ext)
+        if (e >= 0) return encFromDict(s, dict, e, ext)
       }
     }
-    found
+    EncNone
   }
 
   /** True if the /U hex string's first 32 bytes equal the spec padding. */
@@ -227,18 +229,17 @@ object PdfParser {
     * /Metadata or /Subtype /XML) — utils.py:223-238 + get_pdfa_version.
     * Embedded-file streams are excluded by the /Length-aware walk: an
     * ATTACHED PDF/A file must not mark the outer document. */
-  private def pdfaVersion(s: String): String = {
-    var found = ""
-    streamWalk(s) { (dict, dataStart, dataEnd) =>
-      if (found.isEmpty && !dict.contains("/EmbeddedFile") &&
+  private def pdfaVersion(s: String, ext: StreamExtents): String = {
+    ext.all.foreach { case (dict, dataStart, dataEnd) =>
+      if (!dict.contains("/EmbeddedFile") &&
           (dict.contains("/Metadata") || dict.contains("/Subtype /XML"))) {
         val body = s.substring(dataStart, dataEnd)
         val part = xmpValue(body, "pdfaid:part")
         if (part.nonEmpty)
-          found = part + xmpValue(body, "pdfaid:conformance")
+          return part + xmpValue(body, "pdfaid:conformance")
       }
     }
-    found
+    ""
   }
 
   /** `<name>value</...>` element or `name="value"` attribute form. */
@@ -309,9 +310,9 @@ object PdfParser {
   /** All decoded stream bodies that are plausibly content streams.
     * XMP/metadata and embedded-file (attachment payload) streams are
     * excluded — their bytes are NOT document content. */
-  private def contentStreams(s: String): Vector[String] = {
+  private def contentStreams(s: String, ext: StreamExtents): Vector[String] = {
     val out = Vector.newBuilder[String]
-    streamWalk(s) { (dict, dataStart, dataEnd) =>
+    ext.all.foreach { case (dict, dataStart, dataEnd) =>
       val skip = dict.contains("/Subtype /XML") || dict.contains("/Metadata") ||
         dict.contains("/EmbeddedFile")
       if (!skip) {

@@ -111,14 +111,25 @@ object Similarity {
       bits: Int = 8,
       dim: Int = 64,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      /** Also probe every bucket at Hamming distance 1 from the query's
+        * (bits+1 probes per query): near-boundary neighbors whose sign
+        * flipped on one hyperplane are recovered — the standard recall
+        * lever that costs probes, not index size. Corpus side is
+        * unchanged (still one bucket per vector). */
+      multiProbe: Boolean = false): DataFrame = {
     val planes = hyperplanes(bits, dim)
     val bucketed = emb.select(col(idCol).as("nid"),
       asDouble(col(vecCol)).as("nvec"))
       .withColumn("bucket", lshBucket(col("nvec"), planes))
+    val exactBucket = lshBucket(col("qvec"), planes)
+    val probes =
+      if (!multiProbe) array(exactBucket)
+      else array(exactBucket +:
+        (0 until bits).map(j => exactBucket.bitwiseXOR(lit(1L << j))): _*)
     val q = emb.where(queryPred)
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
-      .withColumn("bucket", lshBucket(col("qvec"), planes))
+      .withColumn("bucket", explode(probes))
     val scored = bucketed.join(q, Seq("bucket"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), col("bucket"),

@@ -102,6 +102,20 @@ class OpsSpec extends AnyFunSuite {
       s"native=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}"))
   }
 
+  test("multi-probe lsh: recall vs exact is at least single-probe's") {
+    def recallOf(df: org.apache.spark.sql.DataFrame, brute: Set[(Long, Long)]): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val brute = Similarity.cosineTopK(emb, col("vec_id") < 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val single = recallOf(Similarity.annLsh(emb, col("vec_id") < 10, k = 5), brute)
+    val multi = recallOf(
+      Similarity.annLsh(emb, col("vec_id") < 10, k = 5, multiProbe = true), brute)
+    assert(multi >= single, s"multi $multi < single $single")
+    assert(multi > 0.0)
+  }
+
   test("ivf ann: full probe equals exact brute-force top-k; partial probes rank correctly") {
     val brute = Similarity.cosineTopK(emb, col("vec_id") < 10, k = 5)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
