@@ -71,6 +71,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(colocated.length == ExtractPipeline.dedupLatest(bucketed).count())
   }
 
+  test("cross-tier dedup: a url with small AND giant versions keeps one global winner") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.core.Page
+    def ts(ms: Long) = new java.sql.Timestamp(1735689600000L + ms)
+    val small = "small version".getBytes("UTF-8")
+    val giant = ("<html><body><article>" +
+      ("<p>" + ("giant words repeated here for classifier volume " * 20) + "</p>") * 60 +
+      "</article></body></html>").getBytes("UTF-8")
+    assert(giant.length > 10 * 1024)
+    val rows = Seq(
+      Page("https://x.test/doc-a", ts(1000), small, null, "en"), // older small
+      Page("https://x.test/doc-a", ts(9000), giant, null, "en"), // newer GIANT wins
+      Page("https://x.test/doc-b", ts(9000), small, null, "en"), // newer small wins
+      Page("https://x.test/doc-b", ts(1000), giant, null, "en"))
+    val pages = spark.createDataset(rows).toDF().repartition(3)
+    // threshold between the two sizes puts the versions in DIFFERENT tiers
+    val out = ExtractPipeline.run(pages,
+      ExtractPipeline.Config(partitions = 4, giantThreshold = 10 * 1024))
+      .collect().map(e => e.url -> e.textBytes).toMap
+    assert(out.size == 2, s"one row per url, got ${out.keySet}")
+    val gOut = graft.extract.Extractor.extract("u", giant).textBytes
+    val sOut = graft.extract.Extractor.extract("u", small).textBytes
+    assert(out("https://x.test/doc-a") == gOut, "doc-a must keep the giant (newer)")
+    assert(out("https://x.test/doc-b") == sOut, "doc-b must keep the small (newer)")
+  }
+
   test("driver contract: entry() returns rows; every query has a function") {
     val spark = TestSpark.spark
     assert(SparkEntry.entry(spark).count() > 0)
