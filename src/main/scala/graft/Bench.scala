@@ -150,7 +150,8 @@ object Bench {
         val headline = Set("q01_pricing_summary", "q02_topk_revenue",
           "q05_window_topn", "q06_sessionize", "d01_exact_dedup",
           "d02_token_stats", "d05_minhash_pairs", "d07_simhash_pairs",
-          "e01_cosine_topk", "e02_ann_lsh", "x01_extract_status_counts")
+          "e01_cosine_topk", "e02_ann_lsh", "e04_ann_ivf",
+          "x01_extract_status_counts")
         val qt = SparkEntry.queries.toSeq.sortBy(_._1)
           .filter(q => headline.contains(q._1)).map { case (name, fn) =>
           val t0 = System.nanoTime()
