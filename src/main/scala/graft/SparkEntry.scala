@@ -156,6 +156,38 @@ object SparkEntry {
           col("label").cast("int").as("label"))
         .orderBy("vec_id")
     }),
+    "q11_cube" -> ((s, d) => {
+      // grouping sets: CUBE over (event_type, user bucket) — all four
+      // grouping combinations in one pass (one Expand + one aggregate)
+      t(s, d, "events")
+        .cube(col("event_type"), (col("user_id") % 10).as("user_mod"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(14,4)")).cast("double"), 4).as("sum_value"))
+        .select(coalesce(col("event_type"), lit("_ALL_")).as("etype"),
+          coalesce(col("user_mod"), lit(-1L)).as("umod"),
+          col("n"), col("sum_value"))
+        .orderBy("etype", "umod")
+    }),
+    "q12_percentiles" -> ((s, d) => {
+      // EXACT percentiles (sort-based linear interpolation — matches
+      // DuckDB quantile_cont); approx_percentile would not oracle-match
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+    "q13_json" -> ((s, d) => {
+      // JSON column access: extract props.k, bucket, aggregate
+      t(s, d, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(pmod(col("k"), lit(5)).as("k_mod"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy("k_mod")
+    }),
     // ------------------------------------------------ text/dedup ops
     "d01_exact_dedup" -> ((s, d) => {
       Dedup.exact(t(s, d, "documents")) // unsorted: driver sorts; a global
@@ -328,6 +360,23 @@ object SparkEntry {
         | ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
         | CAST(label AS INT) AS label
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q11_cube" ->
+      """SELECT COALESCE(event_type, '_ALL_') AS etype,
+        | COALESCE(user_id % 10, -1) AS umod, COUNT(*) AS n,
+        | ROUND(CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE), 4) AS sum_value
+        |FROM events GROUP BY CUBE(event_type, user_id % 10)
+        |ORDER BY 1, 2""".stripMargin,
+    "q12_percentiles" ->
+      """SELECT l_returnflag,
+        | ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        | ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        | ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_json" ->
+      """WITH j AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT k % 5 AS k_mod, COUNT(*) AS n, MIN(k) AS k_min, MAX(k) AS k_max
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY 1""".stripMargin,
