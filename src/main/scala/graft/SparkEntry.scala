@@ -184,7 +184,9 @@ object SparkEntry {
       // JSON column access: extract props.k, bucket, aggregate
       t(s, d, "events")
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .groupBy(pmod(col("k"), lit(5)).as("k_mod"))
+        // % (not pmod): DuckDB's % keeps the dividend's sign — the two
+        // must agree even if a future generator produces negative keys
+        .groupBy((col("k") % 5).as("k_mod"))
         .agg(count(lit(1)).as("n"), min(col("k")).as("k_min"), max(col("k")).as("k_max"))
         .orderBy("k_mod")
     }),

@@ -96,6 +96,9 @@ object Heuristics {
     * Analog of the XMP provenance stamp (docsbox/docs/utils.py:267-283).
     * v2: OOXML/ODF zip-member detection + extraction, trailer-restricted
     * PDF /Encrypt probe, metadata-restricted pdfaid probe, pdfVersion +
-    * detectedKind + attachment payloads. */
-  val Version = "v2"
+    * detectedKind + attachment payloads.
+    * v3: RIFF form-type classification (webp/avi no longer sniff as wav),
+    * xref-stream /Encrypt detection (PDF 1.5+), embedded-PDF stream
+    * isolation, spec-correct JPEG marker walk. */
+  val Version = "v3"
 }

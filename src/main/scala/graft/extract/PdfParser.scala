@@ -171,7 +171,8 @@ object PdfParser {
     * empty-user-password padding. */
   private def encFromDict(s: String, dict: String, e: Int, ext: StreamExtents): EncState = {
     var i = e + 8
-    while (i < dict.length && dict.charAt(i) == ' ') i += 1
+    // any PDF whitespace may separate key and value ('/Encrypt\n3 0 R')
+    while (i < dict.length && Character.isWhitespace(dict.charAt(i))) i += 1
     val st = i
     while (i < dict.length && Character.isDigit(dict.charAt(i))) i += 1
     val encDict =

@@ -80,7 +80,12 @@ object Multimodal {
       if ((b(i) & 0xff) != 0xff) return (-1, -1)
       val marker = b(i + 1) & 0xff
       if (marker == 0xff) i += 1 // fill byte, spec-legal padding
-      else if (isSof(marker)) return (be16(b, i + 7), be16(b, i + 5))
+      else if (isSof(marker)) {
+        // need the full 9-byte frame header; a truncated SOF must yield
+        // (-1,-1), never a half-valid pair
+        return if (i + 9 <= b.length) (be16(b, i + 7), be16(b, i + 5))
+        else (-1, -1)
+      }
       else if (marker == 0xda || marker == 0xd9) return (-1, -1) // SOS/EOI
       else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) i += 2 // standalone
       else {

@@ -98,8 +98,8 @@ object Similarity {
 
   /** ANN via LSH buckets: queries only score candidates in the same bucket.
     * Recall < 1 by design; at 10^9 vectors this turns a cross join into a
-    * uniform equi-join on the bucket key. Multi-probe (probe also buckets at
-    * Hamming distance 1) would raise recall — kept single-probe here.
+    * uniform equi-join on the bucket key. The `multiProbe` flag raises
+    * recall by also probing Hamming-distance-1 buckets.
     * SIZE `bits` WITH THE CORPUS: expected bucket occupancy is N / 2^bits,
     * so bits must grow with log2(N) to keep candidate sets bounded (the
     * default 8 fits the test scale; at 10^9 vectors use ~20+, i.e.
@@ -227,7 +227,10 @@ object Similarity {
       .withColumn("list", element_at(centroid_probes(col("nvec"), cents, 1), 1))
     val q = emb.where(queryPred)
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
-      .withColumn("list", explode(centroid_probes(col("qvec"), cents, nprobe)))
+      // array_distinct: a degenerate (NaN-distance) vector's probe list can
+      // repeat an id — a duplicate probe would double-count candidates
+      .withColumn("list",
+        explode(array_distinct(centroid_probes(col("qvec"), cents, nprobe))))
     val scored = assigned.join(q, Seq("list"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),

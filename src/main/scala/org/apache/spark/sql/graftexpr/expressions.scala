@@ -263,8 +263,12 @@ case class CentroidProbes(child: Expression, centroids: Seq[Seq[Double]], nprobe
     // insertion into two nprobe-sized primitive arrays — no boxing, no
     // O(nlist log nlist) sort in the per-row assignment hot path (at
     // nlist=65536 a full boxed sort per row would dominate)
-    val bestD = Array.fill(nprobe)(Double.MaxValue)
-    val bestI = Array.fill(nprobe)(Int.MaxValue)
+    // pre-fill with valid centroid indices (nprobe <= nlist): a vector
+    // whose distances are all NaN (bad embedding) degrades to probing the
+    // first nprobe lists deterministically instead of emitting sentinel
+    // list ids that silently drop it from the index
+    val bestD = Array.fill(nprobe)(Double.PositiveInfinity)
+    val bestI = Array.tabulate(nprobe)(identity)
     var c = 0
     while (c < nlist) {
       val cent = cents(c)
