@@ -40,7 +40,20 @@ object Main {
           val path = args(2)
           CorpusWriter.writePages(spark, rows, path)
           println(s"[graft] wrote $rows pages -> $path")
-        case "extract" =>
+        case "gen-warc" =>
+          // synthetic corpus as Common-Crawl-style WARC archives (one
+          // plain + one gzip member) — demo input for extract-warc
+          val rows = args(1).toLong
+          val dir = java.nio.file.Paths.get(args(2))
+          java.nio.file.Files.createDirectories(dir)
+          val ps = (0L until rows).map(graft.corpus.PagesGen.page)
+          val (a, b) = ps.splitAt(ps.length / 2)
+          java.nio.file.Files.write(dir.resolve("part-0.warc"),
+            graft.corpus.WarcGen.build(a))
+          java.nio.file.Files.write(dir.resolve("part-1.warc.gz"),
+            graft.corpus.WarcGen.build(b, gzip = true))
+          println(s"[graft] wrote $rows pages as WARC -> $dir")
+        case "extract" | "extract-warc" =>
           val pagesPath = args(1)
           val outputRoot = args(2)
           val (posArgs, optArgs) = args.drop(3).partition(!_.contains("="))
@@ -53,7 +66,10 @@ object Main {
             case Left(msg) => System.err.println(s"[graft] invalid options: $msg"); sys.exit(2)
             case Right(o) => o
           }
-          val pages = spark.read.parquet(pagesPath)
+          val pages =
+            if (args(0) == "extract-warc")
+              graft.sources.Ingest.fromWarc(spark, pagesPath)
+            else spark.read.parquet(pagesPath)
           val id = ExtractPipeline.runAndCommit(spark, pages, outputRoot,
             ExtractPipeline.Config(partitions = partitions,
               outputPdfVersion = opts.outputPdfVersion,
@@ -89,7 +105,9 @@ object Main {
   private def usage(): Unit =
     System.err.println(
       """usage: graft.Main gen <rows> <pagesParquet>
+        |       graft.Main gen-warc <rows> <warcDir>
         |       graft.Main extract <pagesParquet> <outputRoot> [partitions] [key=value...]
+        |       graft.Main extract-warc <warcDir> <outputRoot> [partitions] [key=value...]
         |         options: conversion-format=text|spans
         |                  output-pdf-version=1|2|3   (attachment re-attach policy)
         |                  thumbnails=WxH

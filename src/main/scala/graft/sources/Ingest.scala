@@ -24,4 +24,22 @@ object Ingest {
         col("content").as("html"),
         lit(null).cast("string").as("text"),
         lit(null).cast("string").as("lang"))
+
+  /** Read WARC archives (plain or .gz) into the pages table shape — the
+    * Common-Crawl ingest path: one row per `response` record, url from
+    * WARC-Target-URI, warc_ts from WARC-Date, html = the HTTP payload.
+    * Files are distributed by the binaryFile source and parsed inside a
+    * narrow map (one task per file; whole-file parse is the standard WARC
+    * access pattern — archives are written ~1 GB each precisely so one
+    * fits in an executor task). */
+  def fromWarc(spark: SparkSession, dir: String, glob: String = "*.warc*"): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .mapPartitions(_.flatMap(WarcReader.records))
+      .toDF()
+  }
 }

@@ -1,0 +1,156 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, EOFException, InputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
+import scala.collection.mutable.ArrayBuffer
+import scala.util.control.NonFatal
+
+import graft.core.Page
+
+/** Hand-written WARC (ISO 28500) reader — the Common-Crawl container
+  * format, so a real crawl archive can feed the pipeline directly
+  * (`Ingest.fromWarc`). Scope: WARC/1.0 and /1.1 `response` records; the
+  * HTTP payload after the response headers becomes the page's `html`
+  * bytes, `WARC-Target-URI` the url, `WARC-Date` the timestamp.
+  *
+  * Deterministic and never-throw: malformed records/headers are skipped
+  * (a crawl archive always contains some), bounded by per-record and
+  * per-file caps. Handles plain and gzip-compressed files, including the
+  * Common-Crawl layout of one gzip MEMBER per record (GZIPInputStream
+  * reads concatenated members transparently).
+  */
+object WarcReader {
+
+  /** Per-record payload cap — the 100 MB nginx body-cap analog. */
+  val MaxPayload: Int = 100 * 1024 * 1024
+  val MaxHeaderBytes = 64 * 1024
+  val MaxRecordsPerFile = 1 << 20
+
+  /** Parse every response record of one WARC file (plain or gzip). */
+  def records(fileBytes: Array[Byte]): Vector[Page] = {
+    try {
+      val in: InputStream =
+        if (fileBytes.length >= 2 && (fileBytes(0) & 0xff) == 0x1f &&
+            (fileBytes(1) & 0xff) == 0x8b)
+          new GZIPInputStream(new ByteArrayInputStream(fileBytes), 1 << 16)
+        else new ByteArrayInputStream(fileBytes)
+      try readAll(in) finally in.close()
+    } catch { case NonFatal(_) => Vector.empty }
+  }
+
+  private def readAll(in: InputStream): Vector[Page] = {
+    val out = Vector.newBuilder[Page]
+    var n = 0
+    var eof = false
+    while (!eof && n < MaxRecordsPerFile) {
+      readRecord(in) match {
+        case Some(pageOpt) =>
+          pageOpt.foreach(out += _)
+          n += 1
+        case None => eof = true
+      }
+    }
+    out.result()
+  }
+
+  /** One WARC record: Some(Some(page)) for a parsed response,
+    * Some(None) for a skipped record, None at end of stream. */
+  private def readRecord(in: InputStream): Option[Option[Page]] = {
+    val headerBlock = readUntilBlankLine(in) match {
+      case null => return None
+      case h => h
+    }
+    val lines = headerBlock.split("\r\n")
+    if (lines.isEmpty || !lines(0).startsWith("WARC/")) return None
+    var warcType: String = null
+    var uri: String = null
+    var date: String = null
+    var len = -1L
+    lines.iterator.drop(1).foreach { line =>
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val k = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+        val v = line.substring(c + 1).trim
+        k match {
+          case "warc-type" => warcType = v
+          case "warc-target-uri" => uri = v.stripPrefix("<").stripSuffix(">")
+          case "warc-date" => date = v
+          case "content-length" =>
+            len = try v.toLong catch { case _: NumberFormatException => -1L }
+          case _ =>
+        }
+      }
+    }
+    if (len < 0 || len > MaxPayload) return None // framing lost: stop
+    val body = readFully(in, len.toInt) match {
+      case null => return None
+      case b => b
+    }
+    skipRecordSeparator(in)
+    if (warcType != "response" || uri == null || date == null)
+      return Some(None) // warcinfo/request/metadata records: skipped
+    // body = HTTP response; payload starts after the header terminator
+    val split = indexOfDoubleCrlf(body)
+    val payload =
+      if (split < 0) body // non-HTTP response content: take as-is
+      else java.util.Arrays.copyOfRange(body, split + 4, body.length)
+    val ts = parseWarcDate(date).getOrElse(return Some(None))
+    Some(Some(Page(uri, ts, payload, null, null)))
+  }
+
+  /** Header block up to and excluding the blank line; null at EOF. */
+  private def readUntilBlankLine(in: InputStream): String = {
+    val buf = new ArrayBuffer[Byte](512)
+    var b = in.read()
+    // skip leading CRLFs between records
+    while (b == '\r' || b == '\n') b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && buf.length < MaxHeaderBytes) {
+      buf += b.toByte
+      if (buf.length >= 4 &&
+          buf(buf.length - 4) == '\r' && buf(buf.length - 3) == '\n' &&
+          buf(buf.length - 2) == '\r' && buf(buf.length - 1) == '\n')
+        return new String(buf.dropRight(4).toArray, StandardCharsets.ISO_8859_1)
+      b = in.read()
+    }
+    null // truncated/oversized header
+  }
+
+  private def readFully(in: InputStream, len: Int): Array[Byte] = {
+    val b = new Array[Byte](len)
+    var off = 0
+    while (off < len) {
+      val n = in.read(b, off, len - off)
+      if (n < 0) return null
+      off += n
+    }
+    b
+  }
+
+  private def skipRecordSeparator(in: InputStream): Unit = {
+    // records are followed by \r\n\r\n; tolerate missing bytes at EOF
+    try {
+      var k = 0
+      while (k < 4) {
+        val b = in.read()
+        if (b < 0 || !(b == '\r' || b == '\n')) k = 4 else k += 1
+      }
+    } catch { case _: EOFException => }
+  }
+
+  private def indexOfDoubleCrlf(b: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** WARC-Date is ISO-8601 UTC (e.g. 2025-01-01T00:00:05Z). */
+  private[sources] def parseWarcDate(s: String): Option[java.sql.Timestamp] =
+    try Some(java.sql.Timestamp.from(java.time.Instant.parse(s)))
+    catch { case NonFatal(_) => None }
+}
