@@ -18,10 +18,11 @@ import graft.pipeline.ExtractPipeline
   *    lang-id, MinHash+LSH, brute Jaccard, SimHash, fingerprint, clusters)
   *  - e01..e04: embedding similarity (brute-force cosine top-k, LSH ANN,
   *    brute near-dup pairs, IVF ANN)
-  *  - x01..x05: the extraction pipeline itself on the synthetic pages
+  *  - x01..x06: the extraction pipeline itself on the synthetic pages
   *    corpus (no SQL oracle possible — correctness is gated by the golden
   *    byte-equality suite in `sbt test`; driver records rows>0). x05
-  *    exercises the nested attachments array + re-attach filter policy.
+  *    exercises the nested attachments array + re-attach filter policy;
+  *    x06 the WARC (Common-Crawl archive) ingest path.
   */
 object SparkEntry {
 
@@ -286,6 +287,30 @@ object SparkEntry {
           concat_ws(",", slice(sort_array(collect_list(col("url"))), 1, 3))
             .as("sample_urls"))
         .orderBy("kind")
+    }),
+    "x06_warc_ingest" -> ((s, d) => {
+      // the Common-Crawl path end-to-end: pages -> WARC archives (cached
+      // per corpus version) -> Ingest.fromWarc -> extract -> status counts.
+      // Must agree with x01's counts row-for-row on the same corpus slice.
+      val sf = "sf([0-9.]+)".r.findFirstMatchIn(d).map(_.group(1).toDouble).getOrElse(0.01)
+      val rows = math.min(2000L, math.max(200L, (sf * 100000).toLong))
+      val dir = java.nio.file.Paths.get(
+        s"/tmp/graft-warc/${graft.corpus.PagesGen.CorpusVersion}-rows-$rows")
+      if (!java.nio.file.Files.exists(dir.resolve("_DONE"))) {
+        java.nio.file.Files.createDirectories(dir)
+        val ps = (0L until rows).map(graft.corpus.PagesGen.page)
+        val (a, b) = ps.splitAt(ps.length / 2)
+        java.nio.file.Files.write(dir.resolve("part-0.warc"),
+          graft.corpus.WarcGen.build(a))
+        java.nio.file.Files.write(dir.resolve("part-1.warc.gz"),
+          graft.corpus.WarcGen.build(b, gzip = true))
+        java.nio.file.Files.write(dir.resolve("_DONE"), Array.emptyByteArray)
+      }
+      val ingested = graft.sources.Ingest.fromWarc(s, dir.toString)
+      ExtractPipeline.run(ingested, ExtractPipeline.Config(partitions = 32))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("docs"), sum(col("textBytes")).as("bytes"))
+        .orderBy("status")
     }),
     "x03_pages_dedup" -> ((s, d) => {
       val p = pages(s, d)
