@@ -154,10 +154,24 @@ object Bench {
           "x01_extract_status_counts")
         val qt = SparkEntry.queries.toSeq.sortBy(_._1)
           .filter(q => headline.contains(q._1)).map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          val ok = try { materialize(fn(s, sfDir)); true }
-            catch { case _: Throwable => false }
-          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          // one UNTIMED warmup per headline query (first execution pays
+          // whole-stage-codegen/Janino + JIT — the r2 phantom q02
+          // "regression" was exactly this single-shot noise), then
+          // best-of-2 timed; queries whose warmup is already slow (the
+          // full-pipeline x01) get one timed run to bound bench wall time
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            materialize(fn(s, sfDir))
+            (System.nanoTime() - t0) / 1e9
+          }
+          val warm = try Some(once()) catch { case _: Throwable => None }
+          val sec = warm match {
+            case None => -1.0
+            case Some(w) =>
+              try { if (w >= 10.0) once() else math.min(once(), once()) }
+              catch { case _: Throwable => -1.0 }
+          }
+          name -> sec
         }
         (t, qt)
       } finally s.stop()

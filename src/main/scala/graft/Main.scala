@@ -73,10 +73,14 @@ object Main {
           val id = ExtractPipeline.runAndCommit(spark, pages, outputRoot,
             ExtractPipeline.Config(partitions = partitions,
               outputPdfVersion = opts.outputPdfVersion,
-              conversionFormat = opts.conversionFormat))
+              conversionFormat = opts.conversionFormat,
+              thumbnails = opts.thumbnails))
           if (id < 0) println("[graft] nothing to do: all urls already committed")
           else {
             println(s"[graft] committed snapshot $id -> $outputRoot")
+            opts.thumbnails.foreach { case (w, h) =>
+              println(s"[graft] thumbnails (${w}x$h) -> $outputRoot/_thumbnails/snap-$id")
+            }
             spark.read.parquet(s"$outputRoot/_counters/snap-$id")
               .orderBy("status").collect()
               .foreach(r => println(s"[counters] ${r.getString(0)}: docs=${r.getLong(1)} bytes=${r.get(2)}"))

@@ -29,6 +29,20 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fixed export root that the STATIC oracle SQL reads back via DuckDB's
+    * read_parquet. The oracle cannot replicate extraction itself, but it can
+    * independently re-aggregate the engine's own exported per-doc rows —
+    * turning the extraction queries (x01/x04/x05/x06/x07) from rows-only
+    * checks into real schema+rows+hash comparisons. Overwritten per Verify
+    * run; the path is static because oracleSql is a static map. */
+  private val ExportRoot = "/tmp/graft-verify-export"
+
+  private def exportAndRead(df: DataFrame, name: String): DataFrame = {
+    val path = s"$ExportRoot/$name"
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** Synthetic pages corpus sized to the scale factor; cached per size. */
   private def pages(spark: SparkSession, dir: String): DataFrame = {
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.01)
@@ -238,11 +252,14 @@ object SparkEntry {
         .orderBy("status", "mimeType")
     }),
     "x02_extract_docs" -> ((s, d) => {
+      // per-doc rows are ALSO exported to the fixed path: x01's and x06's
+      // oracles re-aggregate this export in DuckDB (real value checks over
+      // the engine's own rows — extraction itself is golden-gated)
       val out = ExtractPipeline.run(pages(s, d), ExtractPipeline.Config(partitions = 32))
-      out.select(col("url"), col("status"), col("mimeType"),
+      exportAndRead(out.select(col("url"), col("status"), col("mimeType"),
         col("detectedKind"), col("pdfVersion"), col("textBytes"),
         size(col("spans")).as("n_spans"), size(col("attachments")).as("n_atts"),
-        xxhash64(col("text")).as("text_hash")) // unsorted per-doc output
+        xxhash64(col("text")).as("text_hash")), "x02docs") // unsorted per-doc output
     }),
     "x05_attachment_policy" -> ((s, d) => {
       // nested-data filter policy (A15, utils.py:464-507): per target
@@ -255,10 +272,12 @@ object SparkEntry {
       val out = ExtractPipeline.run(pages(s, d), ExtractPipeline.Config(partitions = 32))
         .toDF()
         .where(size(col("attachments")) > 0)
-      val agg = out.select(
+      val perDoc = exportAndRead(out.select(
           size(col("attachments")).as("n_in"),
           size(graft.ops.Attachments.applyPolicy(col("attachments"), "1")).as("k1"),
-          size(graft.ops.Attachments.applyPolicy(col("attachments"), "2")).as("k2"))
+          size(graft.ops.Attachments.applyPolicy(col("attachments"), "2")).as("k2")),
+        "x05atts") // oracle re-aggregates the exported per-doc policy counts
+      val agg = perDoc
         .agg(count(lit(1)).as("docs_with_atts"), sum(col("n_in")).as("atts_in"),
           sum(col("k1")).as("kept1"), sum(col("k2")).as("kept2"))
       agg.select(explode(array(
@@ -276,9 +295,11 @@ object SparkEntry {
       // fan-out + regroup (thumbnail fan-out analog, tasks.py:186-201):
       // explode the per-doc span array, aggregate per kind, collect samples
       val out = ExtractPipeline.run(pages(s, d), ExtractPipeline.Config(partitions = 32))
-      out.select(col("url"), explode(col("spans")).as("span"))
+      val spansDf = out.select(col("url"), explode(col("spans")).as("span"))
         .select(col("url"), col("span.kind").as("kind"),
           (col("span.end") - col("span.start")).as("len"))
+      // exported exploded rows: the oracle re-runs this aggregation in DuckDB
+      exportAndRead(spansDf, "x04spans")
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"),
           sum(col("len")).as("bytes"),
@@ -296,15 +317,32 @@ object SparkEntry {
       val rows = math.min(2000L, math.max(200L, (sf * 100000).toLong))
       val dir = java.nio.file.Paths.get(
         s"/tmp/graft-warc/${graft.corpus.PagesGen.CorpusVersion}-rows-$rows")
-      if (!java.nio.file.Files.exists(dir.resolve("_DONE"))) {
-        java.nio.file.Files.createDirectories(dir)
+      if (!java.nio.file.Files.exists(dir)) {
+        // concurrent-driver safe (e.g. Bench + Verify): generate into a
+        // process-unique temp dir, then ATOMIC_MOVE into the versioned
+        // cache path — a reader can never observe a half-written archive.
+        // Losing the rename race means another driver finished first: use
+        // theirs (content is a pure fn of the corpus version).
+        java.nio.file.Files.createDirectories(dir.getParent)
+        val tmp = java.nio.file.Files.createTempDirectory(
+          dir.getParent, s".gen-${dir.getFileName}-")
         val ps = (0L until rows).map(graft.corpus.PagesGen.page)
         val (a, b) = ps.splitAt(ps.length / 2)
-        java.nio.file.Files.write(dir.resolve("part-0.warc"),
+        java.nio.file.Files.write(tmp.resolve("part-0.warc"),
           graft.corpus.WarcGen.build(a))
-        java.nio.file.Files.write(dir.resolve("part-1.warc.gz"),
+        java.nio.file.Files.write(tmp.resolve("part-1.warc.gz"),
           graft.corpus.WarcGen.build(b, gzip = true))
-        java.nio.file.Files.write(dir.resolve("_DONE"), Array.emptyByteArray)
+        try java.nio.file.Files.move(tmp, dir,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException |
+               _: java.nio.file.FileSystemException =>
+            // lost the race: discard our copy
+            java.nio.file.Files.deleteIfExists(tmp.resolve("part-0.warc"))
+            java.nio.file.Files.deleteIfExists(tmp.resolve("part-1.warc.gz"))
+            java.nio.file.Files.deleteIfExists(tmp)
+        }
       }
       val ingested = graft.sources.Ingest.fromWarc(s, dir.toString)
       ExtractPipeline.run(ingested, ExtractPipeline.Config(partitions = 32))
@@ -317,6 +355,19 @@ object SparkEntry {
       val deduped = ExtractPipeline.dedupLatest(p)
       p.agg(count(lit(1)).as("raw_rows")).crossJoin(
         deduped.agg(count(lit(1)).as("unique_urls")))
+    }),
+    "x07_thumbnails" -> ((s, d) => {
+      // thumbnail artifact fan-out (A21, utils.py:99-115): one real 16x12
+      // PNG per finished doc; per-doc rows exported, aggregate oracle-checked
+      val out = ExtractPipeline.run(pages(s, d), ExtractPipeline.Config(partitions = 32))
+      val thumbs = graft.ops.Thumbnails.generate(out, 16, 12)
+        .select(col("url"), col("width"), col("height"),
+          length(col("png")).as("png_bytes"))
+      exportAndRead(thumbs, "x07thumbs")
+        .agg(count(lit(1)).as("docs"),
+          min(col("width")).as("w_min"), max(col("width")).as("w_max"),
+          min(col("height")).as("h_min"), max(col("height")).as("h_max"),
+          sum(col("png_bytes")).as("png_bytes_total"))
     }),
   )
 
@@ -505,5 +556,45 @@ object SparkEntry {
         |FROM e x JOIN e y ON x.vec_id < y.vec_id
         |WHERE ROUND(list_cosine_similarity(x.v, y.v), 4) >= 0.45
         |ORDER BY a, b""".stripMargin,
+    // ------------------------------------------------ extraction exports
+    // The oracle cannot replicate extraction, but it CAN independently
+    // re-aggregate the engine's own per-doc exports (fixed paths written by
+    // the x02/x04/x05/x07 queries during the same Verify run) — real
+    // schema+rows+hash checks for the aggregation layer. SUMs are cast to
+    // BIGINT (DuckDB SUM(int) -> INT128 -> float64 in pandas otherwise).
+    "x01_extract_status_counts" ->
+      s"""SELECT status, "mimeType", COUNT(*) AS docs,
+         | CAST(SUM("textBytes") AS BIGINT) AS bytes
+         |FROM read_parquet('$ExportRoot/x02docs/*.parquet')
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x06_warc_ingest" -> // WARC-path counts MUST equal the parquet path's
+      s"""SELECT status, COUNT(*) AS docs,
+         | CAST(SUM("textBytes") AS BIGINT) AS bytes
+         |FROM read_parquet('$ExportRoot/x02docs/*.parquet')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // pages-cache path is pinned to the driver's Verify scale (sf0.01 ->
+    // 1000 rows); the cache is materialized by the same Verify run
+    "x03_pages_dedup" ->
+      s"""SELECT
+         | (SELECT COUNT(*) FROM read_parquet('/tmp/graft-pages/${graft.corpus.PagesGen.CorpusVersion}-rows-1000/*.parquet')) AS raw_rows,
+         | (SELECT COUNT(DISTINCT url) FROM read_parquet('/tmp/graft-pages/${graft.corpus.PagesGen.CorpusVersion}-rows-1000/*.parquet')) AS unique_urls""".stripMargin,
+    "x04_span_kinds" ->
+      s"""SELECT kind, COUNT(*) AS n, CAST(SUM(len) AS BIGINT) AS bytes,
+         | array_to_string(list_sort(list(url))[1:3], ',') AS sample_urls
+         |FROM read_parquet('$ExportRoot/x04spans/*.parquet')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x05_attachment_policy" ->
+      s"""WITH a AS (SELECT COUNT(*) AS d, CAST(SUM(n_in) AS BIGINT) AS ai,
+         |  CAST(SUM(k1) AS BIGINT) AS kk1, CAST(SUM(k2) AS BIGINT) AS kk2
+         | FROM read_parquet('$ExportRoot/x05atts/*.parquet'))
+         |SELECT '1' AS pdf_version, d AS docs_with_atts, ai AS atts_in, kk1 AS atts_kept FROM a
+         |UNION ALL SELECT '2', d, ai, kk2 FROM a
+         |UNION ALL SELECT '3', d, ai, ai FROM a
+         |ORDER BY 1""".stripMargin,
+    "x07_thumbnails" ->
+      s"""SELECT COUNT(*) AS docs, MIN(width) AS w_min, MAX(width) AS w_max,
+         | MIN(height) AS h_min, MAX(height) AS h_max,
+         | CAST(SUM(png_bytes) AS BIGINT) AS png_bytes_total
+         |FROM read_parquet('$ExportRoot/x07thumbs/*.parquet')""".stripMargin,
   )
 }

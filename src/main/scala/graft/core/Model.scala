@@ -45,9 +45,10 @@ case class Extracted(
     textBytes: Long,
     message: String, // null when status == finished
     heuristicsVersion: String,
-    /** Type family routed to: html | pdf | text | ooxml | odf | zip |
-      * image | audio | video | unknown (detect result the reference returns
-      * on every request, docsbox/docs/views.py:82-95). */
+    /** Type family routed to: html | pdf | text | ooxml | odf | rtf |
+      * ole2 | iwork | epub | zip | image | audio | video | unknown (detect
+      * result the reference returns on every request,
+      * docsbox/docs/views.py:82-95). */
     detectedKind: String,
     /** PDF/A version "partN + conformance" ("1B") when the XMP metadata
       * carries pdfaid; "" otherwise (utils.py:118-125,223-238). */
@@ -99,6 +100,10 @@ object Heuristics {
     * detectedKind + attachment payloads.
     * v3: RIFF form-type classification (webp/avi no longer sniff as wav),
     * xref-stream /Encrypt detection (PDF 1.5+), embedded-PDF stream
-    * isolation, spec-correct JPEG marker walk. */
-  val Version = "v3"
+    * isolation, spec-correct JPEG marker walk.
+    * v4: full ODF family (ods/odp/odg) + StarOffice sx* routed through the
+    * content.xml extractor (with exact tag-boundary opener matching), RTF
+    * extraction, OLE2/CFB + RTF + TIFF + HEIC/HEIF signatures, iWork/epub
+    * zip classification. */
+  val Version = "v4"
 }

@@ -44,8 +44,11 @@ object PagesGen {
     * attachment filespec props.
     * c5: pdf-attachments sometimes attach a nested PDF (v2 policy + parser
     * isolation coverage); media-junk adds gif/jpeg/wav variants with
-    * parseable headers. */
-  val CorpusVersion = "c5"
+    * parseable headers.
+    * c6: full format registry — ods/odp/odg, legacy OLE2 doc/xls/ppt, rtf,
+    * StarOffice sx*, iWork/epub zips; media-junk adds tiff + webp-VP8X;
+    * category map re-sliced (dup pair now 83/84). */
+  val CorpusVersion = "c6"
 
   // fixed multilingual word pools (fi / sv / en flavor for `lang` variety)
   private val WordsEn = Array(
@@ -95,29 +98,41 @@ object PagesGen {
 
   private val Langs = Array("en", "fi", "sv", "en", "fi") // weighted
 
-  /** Category by row index — fixed proportions (FIXTURES.md §3). */
+  /** Category by row index — fixed proportions (FIXTURES.md §3). The c6
+    * slice covers the reference's whole 24-mimetype registry
+    * (config.yml:34-153): convertable documents, legacy OLE2, RTF, the full
+    * ODF + StarOffice families, iWork/epub, media, and the failure modes. */
   def category(idx: Long): String = (idx % 100) match {
-    case m if m < 40 => "html-clean"
-    case m if m < 55 => "html-messy"
-    case m if m < 65 => "html-linkfarm"
-    case m if m < 75 => "pdf-simple"
-    case m if m < 78 => "pdf-attachments"
-    case m if m < 80 => "pdf-already-done"
-    case 80 => "pdf-encrypted"
-    case 81 => "pdf-encrypted-partial"
-    case m if m < 84 => "pdf-bad-coords"
-    case m if m < 86 => "media-junk"
-    case m if m < 88 => "random-junk"
-    case m if m < 90 => "truncated"
-    case 90 => "empty"
-    case 91 => "giant"
-    case 92 | 93 => "dup-url" // 92 = first crawl, 93 = re-crawl of 92's url
-    case 94 => "docx"
-    case 95 => "odt"
-    case 96 => "pptx"
-    case 97 => "xlsx"
-    case 98 => "zip-plain"
-    case _ => "pdf-encrypt-text" // 99: "/Encrypt" + "pdfaid:part" as TEXT
+    case m if m < 34 => "html-clean"
+    case m if m < 47 => "html-messy"
+    case m if m < 56 => "html-linkfarm"
+    case m if m < 66 => "pdf-simple"
+    case m if m < 69 => "pdf-attachments"
+    case m if m < 71 => "pdf-already-done"
+    case 71 => "pdf-encrypted"
+    case 72 => "pdf-encrypted-partial"
+    case m if m < 75 => "pdf-bad-coords"
+    case m if m < 77 => "media-junk"
+    case m if m < 79 => "random-junk"
+    case m if m < 81 => "truncated"
+    case 81 => "empty"
+    case 82 => "giant"
+    case 83 | 84 => "dup-url" // 83 = first crawl, 84 = re-crawl of 83's url
+    case 85 => "docx"
+    case 86 => "odt"
+    case 87 => "pptx"
+    case 88 => "xlsx"
+    case 89 => "zip-plain"
+    case 90 => "pdf-encrypt-text" // "/Encrypt" + "pdfaid:part" as TEXT
+    case 91 => "ods"
+    case 92 => "odp"
+    case 93 => "odg"
+    case 94 => "cfb-doc" // legacy binary Word (OLE2 compound)
+    case 95 => "cfb-xls"
+    case 96 => "cfb-ppt"
+    case 97 => "rtf"
+    case 98 => "staroffice" // sx* rotating writer/calc/impress/draw
+    case _ => "exotic-zip" // 99: iWork / epub rotating
   }
 
   /** Expected extraction status per category (expectation-table-as-code,
@@ -132,19 +147,22 @@ object PagesGen {
     case "truncated" => "corrupted"
     case "empty" => "corrupted"
     case "zip-plain" => "non-convertable"
+    // detected + correctly typed, conversion out of scope (the reference
+    // shells out to LibreOffice for OLE2; iWork/epub it does not convert)
+    case "cfb-doc" | "cfb-xls" | "cfb-ppt" | "exotic-zip" => "non-convertable"
     case _ => "finished"
   }
 
   def url(idx: Long): String = {
     val cat = category(idx)
     // dup pair shares one url, keyed to the first crawl's index
-    val key = if (cat == "dup-url" && idx % 100 == 93) idx - 1 else idx
+    val key = if (cat == "dup-url" && idx % 100 == 84) idx - 1 else idx
     s"https://example-${key % 7}.test/$cat/doc-$key"
   }
 
   def warcTs(idx: Long): Timestamp = {
     val base = 1735689600000L // 2025-01-01T00:00:00Z
-    val bump = if (category(idx) == "dup-url" && idx % 100 == 93) 7200000L else 0L
+    val bump = if (category(idx) == "dup-url" && idx % 100 == 84) 7200000L else 0L
     new Timestamp(base + idx * 1000L + bump)
   }
 
@@ -196,13 +214,35 @@ object PagesGen {
       case "xlsx" =>
         ZipGen.xlsx((0 until 5 + r.nextInt(10)).map(_ => sentence(r, lang)))
       case "zip-plain" =>
-        val junk = new Array[Byte](64 + r.nextInt(128))
-        var zi = 0
-        while (zi < junk.length) { junk(zi) = (r.nextLong() & 0xff).toByte; zi += 1 }
-        ZipGen.zip(Seq("data/readme.bin" -> junk))
+        ZipGen.zip(Seq("data/readme.bin" -> junkBytes(r, 64 + r.nextInt(128))))
+      case "ods" =>
+        ZipGen.ods((0 until 4 + r.nextInt(8)).map(_ => sentence(r, lang)))
+      case "odp" =>
+        ZipGen.odp((0 until 1 + r.nextInt(3)).map(_ =>
+          (0 until 2 + r.nextInt(3)).map(_ => sentence(r, lang))))
+      case "odg" =>
+        ZipGen.odg((0 until 2 + r.nextInt(4)).map(_ => sentence(r, lang)))
+      case "cfb-doc" =>
+        LegacyGen.cfb("WordDocument", junkBytes(r, 600 + r.nextInt(1200)))
+      case "cfb-xls" =>
+        LegacyGen.cfb("Workbook", junkBytes(r, 600 + r.nextInt(1200)))
+      case "cfb-ppt" =>
+        LegacyGen.cfb("PowerPoint Document", junkBytes(r, 600 + r.nextInt(1200)))
+      case "rtf" =>
+        LegacyGen.rtf((0 until 3 + r.nextInt(6)).map(_ => paragraph(r, lang, 2 + r.nextInt(3))))
+      case "staroffice" =>
+        val app = Array("writer", "calc", "impress", "draw").apply(((idx / 100) % 4).toInt)
+        ZipGen.sx(app, (0 until 3 + r.nextInt(5)).map(_ => paragraph(r, lang, 2)))
+      case "exotic-zip" =>
+        ((idx / 100) % 4).toInt match {
+          case 0 => ZipGen.iwork("pages", junkBytes(r, 128 + r.nextInt(128)))
+          case 1 => ZipGen.iwork("keynote", junkBytes(r, 128 + r.nextInt(128)))
+          case 2 => ZipGen.iwork("numbers", junkBytes(r, 128 + r.nextInt(128)))
+          case _ => ZipGen.epub((0 until 3).map(_ => paragraph(r, lang, 2)))
+        }
       case "pdf-bad-coords" =>
         PdfGen.build(PdfGen.PdfSpec(pdfPages(r, lang, 1), badCoords = true))
-      case "media-junk" => mediaJunk(r, ((idx / 100) % 6).toInt)
+      case "media-junk" => mediaJunk(r, ((idx / 100) % 8).toInt)
       case "random-junk" => randomJunk(r)
       case "truncated" =>
         // valid PDF prefix cut before any content stream completes
@@ -341,13 +381,37 @@ object PagesGen {
             rate.toByte, (rate >>> 8).toByte, (rate >>> 16).toByte, (rate >>> 24).toByte,
             0, 0, 0, 0, 0, 0, 16, 0) ++
           "data".getBytes(StandardCharsets.US_ASCII) ++ Array[Byte](0, 1, 0, 0)
-      case _ => // unreachable (variant is %6); keep mp4 for safety
+      case 6 => // tiff (LE): IFD at 8 with ImageWidth/ImageLength SHORT tags
+        val w = 16 + r.nextInt(2048)
+        val h = 16 + r.nextInt(2048)
+        Array[Byte]('I', 'I', 0x2a, 0, 8, 0, 0, 0, // header + IFD offset 8
+          2, 0, // 2 entries
+          0, 1, 3, 0, 1, 0, 0, 0, w.toByte, (w >>> 8).toByte, 0, 0, // tag 256
+          1, 1, 3, 0, 1, 0, 0, 0, h.toByte, (h >>> 8).toByte, 0, 0, // tag 257
+          0, 0, 0, 0) // next IFD: none
+      case 7 => // webp VP8X: canvas size as 24-bit LE minus-one fields
+        val w = 16 + r.nextInt(2048)
+        val h = 16 + r.nextInt(2048)
+        "RIFF".getBytes(StandardCharsets.US_ASCII) ++
+          Array[Byte](0x40, 1, 0, 0) ++
+          "WEBPVP8X".getBytes(StandardCharsets.US_ASCII) ++
+          Array[Byte](10, 0, 0, 0, 0, 0, 0, 0,
+            (w - 1).toByte, ((w - 1) >>> 8).toByte, ((w - 1) >>> 16).toByte,
+            (h - 1).toByte, ((h - 1) >>> 8).toByte, ((h - 1) >>> 16).toByte)
+      case _ => // unreachable (variant is %8); keep mp4 for safety
         Array[Byte](0, 0, 0, 0x20, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm')
     }
     val tail = new Array[Byte](256 + r.nextInt(256))
     var i = 0
     while (i < tail.length) { tail(i) = (r.nextLong() & 0xff).toByte; i += 1 }
     sig ++ tail
+  }
+
+  private def junkBytes(r: Rng, n: Int): Array[Byte] = {
+    val b = new Array[Byte](n)
+    var i = 0
+    while (i < n) { b(i) = (r.nextLong() & 0xff).toByte; i += 1 }
+    b
   }
 
   private def randomJunk(r: Rng): Array[Byte] = {

@@ -94,13 +94,85 @@ object ZipGen {
   def odt(heading: String, paragraphs: Seq[String]): Array[Byte] = {
     val body = s"<text:h text:outline-level=\"1\">${escXml(heading)}</text:h>" +
       paragraphs.map(p => s"<text:p>${escXml(p)}</text:p>").mkString
+    odfPackage("application/vnd.oasis.opendocument.text",
+      s"<office:text>$body</office:text>")
+  }
+
+  /** Shared ODF package shape: mimetype member + content.xml wrapping
+    * `bodyInner` in office:body. */
+  private def odfPackage(mime: String, bodyInner: String): Array[Byte] = {
     val content =
       s"""<?xml version="1.0" encoding="UTF-8"?>
          |<office:document-content xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
-         | xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
-         |<office:body><office:text>$body</office:text></office:body></office:document-content>""".stripMargin
+         | xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+         | xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+         | xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0">
+         |<office:body>$bodyInner</office:body></office:document-content>""".stripMargin
     zip(Seq(
-      "mimetype" -> "application/vnd.oasis.opendocument.text".getBytes(StandardCharsets.US_ASCII),
+      "mimetype" -> mime.getBytes(StandardCharsets.US_ASCII),
       "content.xml" -> utf8(content)))
+  }
+
+  /** Minimal ods: one table, one cell per string, text:p inside the cell
+    * (the ODF spreadsheet text nesting; includes the text:page-* style
+    * tags whose PREFIX collides with text:p — parser boundary-check food). */
+  def ods(cells: Seq[String]): Array[Byte] = {
+    val rows = cells.map(c =>
+      s"<table:table-row><table:table-cell><text:p>${escXml(c)}</text:p></table:table-cell></table:table-row>").mkString
+    odfPackage("application/vnd.oasis.opendocument.spreadsheet",
+      s"""<office:spreadsheet><table:table table:name="s1">$rows</table:table></office:spreadsheet>""")
+  }
+
+  /** Minimal odp: draw pages with frames of text:p paragraphs. */
+  def odp(slides: Seq[Seq[String]]): Array[Byte] = {
+    val pages = slides.map { paras =>
+      val body = paras.map(p => s"<text:p>${escXml(p)}</text:p>").mkString
+      s"""<draw:page><draw:frame><draw:text-box>$body<text:page-number/></draw:text-box></draw:frame></draw:page>"""
+    }.mkString
+    odfPackage("application/vnd.oasis.opendocument.presentation",
+      s"<office:presentation>$pages</office:presentation>")
+  }
+
+  /** Minimal odg: one drawing page of text frames. */
+  def odg(paragraphs: Seq[String]): Array[Byte] = {
+    val body = paragraphs.map(p =>
+      s"<draw:frame><draw:text-box><text:p>${escXml(p)}</text:p></draw:text-box></draw:frame>").mkString
+    odfPackage("application/vnd.oasis.opendocument.graphics",
+      s"<office:drawing><draw:page>$body</draw:page></office:drawing>")
+  }
+
+  /** StarOffice/OpenOffice-1.x sx* package (reference config.yml:75-89):
+    * same mimetype-member + content.xml layout, text:p/text:h vocabulary.
+    * `app` is writer | calc | impress | draw. */
+  def sx(app: String, paragraphs: Seq[String]): Array[Byte] = {
+    val body = paragraphs.map(p => s"<text:p>${escXml(p)}</text:p>").mkString
+    odfPackage(s"application/vnd.sun.xml.$app",
+      s"<office:text>$body</office:text>")
+  }
+
+  /** iWork'13+ bundle shape: protobuf-snappy .iwa members (opaque junk
+    * here — classification is by member NAME layout; reference registry
+    * config.yml:90-110). `app` is pages | keynote | numbers. */
+  def iwork(app: String, junk: Array[Byte]): Array[Byte] = {
+    val members = app match {
+      case "keynote" => Seq("Index/Document.iwa" -> junk, "Index/Slide-1.iwa" -> junk)
+      case "numbers" => Seq("Index/Document.iwa" -> junk, "Index/Tables/DataList.iwa" -> junk)
+      case _ => Seq("Index/Document.iwa" -> junk)
+    }
+    zip(members :+ ("Metadata/Properties.plist" -> junk))
+  }
+
+  /** Minimal epub: mimetype member (application/epub+zip, OCF spec) +
+    * container + one xhtml chapter. */
+  def epub(paragraphs: Seq[String]): Array[Byte] = {
+    val xhtml =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<html xmlns="http://www.w3.org/1999/xhtml"><body>
+         |${paragraphs.map(p => s"<p>${escXml(p)}</p>").mkString("\n")}
+         |</body></html>""".stripMargin
+    zip(Seq(
+      "mimetype" -> "application/epub+zip".getBytes(StandardCharsets.US_ASCII),
+      "META-INF/container.xml" -> utf8("""<?xml version="1.0"?><container/>"""),
+      "OEBPS/chapter1.xhtml" -> utf8(xhtml)))
   }
 }

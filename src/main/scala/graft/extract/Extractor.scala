@@ -51,7 +51,13 @@ object Extractor {
       case Sniffer.MimeDocx => ooxml(url, mime, OoxmlParser.extractDocx(payload))
       case Sniffer.MimePptx => ooxml(url, mime, OoxmlParser.extractPptx(payload))
       case Sniffer.MimeXlsx => ooxml(url, mime, OoxmlParser.extractXlsx(payload))
-      case Sniffer.MimeOdt => ooxml(url, mime, OoxmlParser.extractOdt(payload))
+      case Sniffer.MimeRtf => ooxml(url, mime, RtfParser.extract(payload))
+      // the WHOLE OpenDocument family (odt/ods/odp/odg, config.yml:134-153)
+      // and its StarOffice sx* predecessors (config.yml:75-89) share the
+      // content.xml text:p/text:h extraction path
+      case m if m.startsWith("application/vnd.oasis.opendocument") ||
+          m.startsWith("application/vnd.sun.xml") =>
+        ooxml(url, m, OoxmlParser.extractOdt(payload))
       case Sniffer.MimeZip => // archive without a recognized document member
         statusRow(url, Status.NonConvertable, mime,
           "zip archive without a recognized document member")

@@ -138,7 +138,7 @@ object OoxmlParser {
     if (runs.isEmpty) "" else runs.map(decodeXml).mkString
   }
 
-  private def paragraphsToResult(paras: Seq[String], kind: String): Result = {
+  private[extract] def paragraphsToResult(paras: Seq[String], kind: String): Result = {
     val nonEmpty = paras.filter(_.nonEmpty)
     if (nonEmpty.isEmpty) return OoxmlFailure("no text content")
     val sb = new java.lang.StringBuilder(1024)
@@ -202,19 +202,36 @@ object OoxmlParser {
       }
     } catch { case NonFatal(_) | _: StackOverflowError => OoxmlFailure("xlsx parse error") }
 
-  /** odt: content.xml text:p / text:h elements (tags stripped, entities
-    * decoded) in document order. */
+  /** ODF (odt/ods/odp/odg — content.xml is format-common, reference
+    * config.yml:134-153) and StarOffice sx* (same element vocabulary):
+    * text:p / text:h elements (tags stripped, entities decoded) in document
+    * order. Spreadsheet cells and presentation frames nest their text in
+    * text:p, so the single scan covers the whole family. */
   def extractOdt(payload: Array[Byte]): Result =
     try {
       xmlOf(payload, "content.xml") match {
         case None => OoxmlFailure("no content.xml member")
         case Some(xml) =>
+          // next TRUE opener of `tag` at/after `from`: the prefix must end
+          // at a tag boundary ('>', whitespace, '/'), else <text:p matches
+          // <text:page-number> and the scan hunts a mismatched close tag
+          def nextOpen(from: Int, tag: String): Int = {
+            var j = xml.indexOf("<" + tag, from)
+            while (j >= 0) {
+              val after = j + 1 + tag.length
+              val ch = if (after < xml.length) xml.charAt(after) else ' '
+              if (ch == '>' || ch == ' ' || ch == '/' || ch == '\t' ||
+                  ch == '\n' || ch == '\r') return j
+              j = xml.indexOf("<" + tag, j + 1)
+            }
+            -1
+          }
           // merge p and h in document order: scan once for either opener
           val paras = Vector.newBuilder[String]
           var i = 0
           while (i >= 0 && i < xml.length) {
-            val p = xml.indexOf("<text:p", i)
-            val h = xml.indexOf("<text:h", i)
+            val p = nextOpen(i, "text:p")
+            val h = nextOpen(i, "text:h")
             val at = if (p < 0) h else if (h < 0) p else math.min(p, h)
             if (at < 0) i = -1
             else {

@@ -163,7 +163,23 @@ object PdfParser {
       streamWalk(s)((d, a, e) => b += ((d, a, e)))
       b
     }
-    def inside(p: Int): Boolean = all.exists(x => p >= x._2 && p < x._3)
+    // extents are produced in ascending, non-overlapping order (the walk
+    // resumes after each stream's end) — binary search instead of a linear
+    // scan: `inside` is called inside indexOf loops (objDict, trailer scan,
+    // attachments), so an adversarial PDF packed with `stream`/`Filespec`
+    // keywords would otherwise cost O(occurrences x streams)
+    private val starts: Array[Int] = all.map(_._2).toArray
+    private val ends: Array[Int] = all.map(_._3).toArray
+    def inside(p: Int): Boolean = {
+      var lo = 0
+      var hi = starts.length - 1
+      var idx = -1
+      while (lo <= hi) { // greatest start <= p
+        val mid = (lo + hi) >>> 1
+        if (starts(mid) <= p) { idx = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      idx >= 0 && p < ends(idx)
+    }
   }
 
   /** Classify the /Encrypt entry found at `e` inside `dict`: resolve the

@@ -17,6 +17,12 @@ object Sniffer {
   val MimePptx = "application/vnd.openxmlformats-officedocument.presentationml.presentation"
   val MimeXlsx = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
   val MimeOdt = "application/vnd.oasis.opendocument.text"
+  // legacy OLE2/CFB Office (reference config.yml:40-70) + generic compound
+  val MimeDoc = "application/msword"
+  val MimeXls = "application/vnd.ms-excel"
+  val MimePpt = "application/vnd.ms-powerpoint"
+  val MimeCfb = "application/x-cfb"
+  val MimeRtf = "text/rtf" // reference config.yml:71-74
 
   /** Type family for a detected mimetype — the routing key the dispatcher
     * uses and a user-facing column (detect-result analog, views.py:82-95). */
@@ -24,8 +30,15 @@ object Sniffer {
     case MimeHtml => "html"
     case MimePdf => "pdf"
     case MimeText => "text"
+    case MimeRtf => "rtf"
     case MimeDocx | MimePptx | MimeXlsx => "ooxml"
+    case MimeDoc | MimeXls | MimePpt | MimeCfb => "ole2"
+    // ODF + its StarOffice/OpenOffice-1.x predecessors share the
+    // content.xml extraction path (config.yml:75-110,134-153)
     case m if m.startsWith("application/vnd.oasis.opendocument") => "odf"
+    case m if m.startsWith("application/vnd.sun.xml") => "odf"
+    case m if m.startsWith("application/x-iwork") => "iwork"
+    case "application/epub+zip" => "epub"
     case MimeZip => "zip"
     case m if m.startsWith("image/") => "image"
     case m if m.startsWith("audio/") => "audio"
@@ -51,9 +64,13 @@ object Sniffer {
   private val SigGif = ascii("GIF8")
   private val SigZip = Array(0x50, 0x4b, 0x03, 0x04)
   private val SigFlac = ascii("fLaC")
-  private val SigFtyp = ascii("ftyp") // mp4 family, at offset 4
+  private val SigFtyp = ascii("ftyp") // mp4/heif family, at offset 4
   private val SigRiff = ascii("RIFF")
   private val SigOggS = ascii("OggS")
+  private val SigCfb = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
+  private val SigRtf = ascii("{\\rtf")
+  private val SigTiffLe = Array(0x49, 0x49, 0x2a, 0x00) // II*\0
+  private val SigTiffBe = Array(0x4d, 0x4d, 0x00, 0x2a) // MM\0*
 
   private val HtmlMarkers = Array(
     "<!doctype html", "<html", "<head", "<body", "<title", "<div", "<p>",
@@ -111,13 +128,61 @@ object Sniffer {
     else if (startsWith(b, SigJpeg)) "image/jpeg"
     else if (startsWith(b, SigGif)) "image/gif"
     else if (startsWith(b, SigZip)) sniffZip(b)
+    else if (startsWith(b, SigCfb)) sniffCfb(b)
+    else if (startsWith(b, SigRtf)) MimeRtf
+    else if (startsWith(b, SigTiffLe) || startsWith(b, SigTiffBe)) "image/tiff"
     else if (startsWith(b, SigFlac)) "audio/flac"
     else if (startsWith(b, SigOggS)) "audio/ogg"
     else if (startsWith(b, SigRiff)) riffKind(b)
-    else if (startsWith(b, SigFtyp, off = 4)) "video/mp4"
+    else if (startsWith(b, SigFtyp, off = 4)) ftypKind(b)
     else if (looksHtml(b)) MimeHtml
     else if (looksText(b)) MimeText
     else MimeUnknown
+  }
+
+  /** ISO-BMFF `ftyp` major brand at offset 8: the container is shared by
+    * mp4 video, HEIF/HEIC images (reference registry image/heif+heic,
+    * config.yml:119-133) and m4a audio — the brand disambiguates. */
+  private def ftypKind(b: Array[Byte]): String = {
+    if (b.length < 12) return "video/mp4"
+    new java.lang.String(b, 8, 4, java.nio.charset.StandardCharsets.US_ASCII) match {
+      case "heic" | "heix" | "hevc" | "heim" | "heis" | "hevm" | "hevs" => "image/heic"
+      case "mif1" | "msf1" => "image/heif"
+      case "M4A " => "audio/mp4"
+      case _ => "video/mp4"
+    }
+  }
+
+  /** OLE2/CFB compound files (legacy Office): classify doc/xls/ppt by the
+    * characteristic directory-entry stream names ("WordDocument",
+    * "Workbook"/"Book", "PowerPoint Document" — UTF-16LE in the directory
+    * sectors). A full FAT walk is unnecessary for classification: the
+    * names are unique enough that a bounded byte scan is exact in practice
+    * and never misroutes (unknown CFB -> generic compound mimetype). */
+  private def sniffCfb(b: Array[Byte]): String = {
+    if (containsUtf16(b, "WordDocument")) MimeDoc
+    else if (containsUtf16(b, "Workbook") || containsUtf16(b, "Book")) MimeXls
+    else if (containsUtf16(b, "PowerPoint Document")) MimePpt
+    else MimeCfb
+  }
+
+  private val MaxCfbScan = 4 << 20 // directory sectors live well before 4 MB
+
+  /** Bounded scan for the UTF-16LE encoding of `name`. */
+  private def containsUtf16(b: Array[Byte], name: String): Boolean = {
+    val n = math.min(b.length, MaxCfbScan)
+    val m = name.length
+    if (m == 0 || n < m * 2) return false
+    var i = 0
+    val limit = n - m * 2
+    while (i <= limit) {
+      var k = 0
+      while (k < m && b(i + 2 * k) == name.charAt(k).toByte && b(i + 2 * k + 1) == 0)
+        k += 1
+      if (k == m) return true
+      i += 1
+    }
+    false
   }
 
   /** RIFF containers carry their form type at offset 8 — WAVE is audio,
@@ -148,6 +213,12 @@ object Sniffer {
   private def sniffZip(b: Array[Byte]): String = {
     var off = 0
     var seen = 0
+    // iWork'13+ bundles carry no mimetype member; classify by the .iwa
+    // member layout AFTER the walk (Index/Document.iwa is common to all
+    // three apps — only Slide/Tables members disambiguate)
+    var iworkDoc = false
+    var iworkSlide = false
+    var iworkTables = false
     while (seen < MaxMembers && off + 30 <= b.length &&
         startsWith(b, SigZip, off)) {
       def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
@@ -174,16 +245,29 @@ object Sniffer {
         }
         return MimeZip
       }
+      if (name.startsWith("Index/Document.iwa")) iworkDoc = true
+      else if (name.startsWith("Index/Slide")) iworkSlide = true
+      else if (name.startsWith("Index/Tables/") ||
+        name.startsWith("Index/CalculationEngine")) iworkTables = true
       // streaming entry (bit 3): sizes are 0 in the local header — cannot
-      // skip reliably; classify as plain zip rather than guessing
-      if ((flags & 0x8) != 0 && compSize == 0 && !name.endsWith("/")) return MimeZip
+      // skip reliably; classify on what we have seen so far
+      if ((flags & 0x8) != 0 && compSize == 0 && !name.endsWith("/"))
+        return iworkMime(iworkDoc, iworkSlide, iworkTables)
       // compSize is u32: guard the skip against int overflow (a 4 GB entry
       // would wrap `off` negative and read out of bounds)
       val next = nameStart.toLong + nameLen + extraLen + compSize
-      if (next <= off || next > Int.MaxValue) return MimeZip
+      if (next <= off || next > Int.MaxValue)
+        return iworkMime(iworkDoc, iworkSlide, iworkTables)
       off = next.toInt
       seen += 1
     }
-    MimeZip
+    iworkMime(iworkDoc, iworkSlide, iworkTables)
   }
+
+  /** Apple iWork mimetypes (reference registry config.yml:90-110). */
+  private def iworkMime(doc: Boolean, slide: Boolean, tables: Boolean): String =
+    if (slide) "application/x-iwork-keynote-sffkey"
+    else if (tables) "application/x-iwork-numbers-sffnumbers"
+    else if (doc) "application/x-iwork-pages-sffpages"
+    else MimeZip
 }

@@ -102,6 +102,48 @@ object Multimodal {
   private def isSof(m: Int): Boolean =
     m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
 
+  /** Real header parse: TIFF — byte-order mark (II little / MM big endian),
+    * first IFD via the offset at byte 4, entries scanned for ImageWidth
+    * (tag 256) and ImageLength (tag 257); SHORT(3) and LONG(4) value types,
+    * inline left-justified values per TIFF 6.0 §2. */
+  def tiffDims(b: Array[Byte]): (Int, Int) = {
+    if (b.length < 8) return (-1, -1)
+    val le = b(0) == 'I'
+    def u16(o: Int): Int = if (o < 0 || o + 2 > b.length) -1
+      else if (le) le16(b, o) else be16(b, o)
+    def u32(o: Int): Int = if (o < 0 || o + 4 > b.length) -1
+      else if (le) le32(b, o) else beInt(b, o)
+    val ifd = u32(4)
+    if (ifd < 0 || ifd + 2 > b.length) return (-1, -1)
+    val n = u16(ifd)
+    if (n < 0) return (-1, -1)
+    var w = -1
+    var h = -1
+    var i = 0
+    while (i < n && i < 256) {
+      val e = ifd + 2 + i * 12
+      if (e + 12 > b.length) return (w, h)
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      val v = if (typ == 3) u16(e + 8) else u32(e + 8)
+      if (tag == 256) w = v
+      else if (tag == 257) h = v
+      i += 1
+    }
+    (w, h)
+  }
+
+  /** Real header parse: WebP VP8X extended-format chunk — canvas size as
+    * 24-bit LE minus-one fields at offsets 24/27 (lossy VP8 / lossless VP8L
+    * variants are left unparsed: (-1,-1)). */
+  def webpDims(b: Array[Byte]): (Int, Int) = {
+    if (b.length >= 30 && b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'X') {
+      val w = 1 + ((b(24) & 0xff) | ((b(25) & 0xff) << 8) | ((b(26) & 0xff) << 16))
+      val h = 1 + ((b(27) & 0xff) | ((b(28) & 0xff) << 8) | ((b(29) & 0xff) << 16))
+      (w, h)
+    } else (-1, -1)
+  }
+
   /** Real header parse: WAV fmt chunk — (sampleRate, channels); the fmt
     * chunk is at offset 12 in canonical RIFF/WAVE files (walks chunks). */
   def wavMeta(b: Array[Byte]): (Int, Int) = {
@@ -150,6 +192,8 @@ object Multimodal {
             case "image/png" => pngDims(b)
             case "image/gif" => gifDims(b)
             case "image/jpeg" => jpegDims(b)
+            case "image/tiff" => tiffDims(b)
+            case "image/webp" => webpDims(b)
             case _ => (-1, -1)
           }
           val (rate, ch) = if (mime == "audio/wav") wavMeta(b) else (-1, -1)

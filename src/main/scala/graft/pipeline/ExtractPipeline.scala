@@ -79,7 +79,12 @@ object ExtractPipeline {
         * utils.py:57-64): "spans" (default) = full rows incl. spans +
         * attachments; "text" = text-only table (structural columns
         * dropped at commit). Per-table, validated by JobOptions. */
-      conversionFormat: String = "spans")
+      conversionFormat: String = "spans",
+      /** Thumbnail artifact size WxH (thumbnails-option analog,
+        * utils.py:99-115, tasks.py:186-201): when set, runAndCommit also
+        * writes a `_thumbnails/snap-<id>` sidecar with one real PNG of this
+        * size per finished document. None (default) = no artifact pass. */
+      thumbnails: Option[(Int, Int)] = None)
 
   /** Last-write-wins per url via a window — the reference implementation of
     * the dedup semantics (Redis key overwrite analog, views.py:255,271);
@@ -127,7 +132,12 @@ object ExtractPipeline {
       it.foreach { row =>
         val url = row.getString(0)
         val ts = row.getTimestamp(1) // full microsecond precision
-        val html = row.getAs[Array[Byte]](2)
+        // null html -> empty payload ('corrupted' status row), matching the
+        // shuffle path's extract-stage normalization (invariant 4)
+        val html = {
+          val h0 = row.getAs[Array[Byte]](2)
+          if (h0 == null) Array.emptyByteArray else h0
+        }
         // same tiebreak hash as the xxhash64(html) expression in dedupLatest
         val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
           html, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, html.length, 42L)
@@ -188,8 +198,13 @@ object ExtractPipeline {
     val placed =
       if (!cfg.splitGiants) winners
       else {
-        val small = winners.where(length(col("html")) <= cfg.giantThreshold)
-        val giant = winners.where(length(col("html")) > cfg.giantThreshold)
+        // null html must land in the SMALL branch (length(null) is NULL and
+        // would fail BOTH predicates, silently dropping the row): the
+        // extract stage maps it to an empty payload -> 'corrupted' status
+        // row, preserving the error-as-value contract (invariant 4)
+        val htmlLen = coalesce(length(col("html")), lit(0))
+        val small = winners.where(htmlLen <= cfg.giantThreshold)
+        val giant = winners.where(htmlLen > cfg.giantThreshold)
           .repartition(cfg.partitions)
         small.unionByName(giant)
       }
@@ -259,8 +274,10 @@ object ExtractPipeline {
       outputRoot: String,
       cfg: Config = Config()): Long = {
     val table = new SnapshotTable(outputRoot)
-    // refuse to mix committed projections in one chain (schema consistency)
-    table.requireMetaConsistent("conversionFormat", cfg.conversionFormat)
+    // refuse to mix committed projections in one chain (schema consistency);
+    // manifests that predate the key mean the pre-upgrade default "spans"
+    table.requireMetaConsistent("conversionFormat", cfg.conversionFormat,
+      defaultForMissing = "spans")
     val done = table.read(spark).map(_.select(col("url")))
     if (!hasWork(pages, done)) return -1L
     val extracted = applyAttachmentPolicy(
@@ -280,6 +297,12 @@ object ExtractPipeline {
         .parquet(s"$outputRoot/_counters/snap-$id")
       lineage(extracted).write.mode("overwrite")
         .parquet(s"$outputRoot/_lineage/snap-$id")
+      // thumbnail artifact fan-out (A21 analog): one WxH PNG per finished
+      // doc, from the SAME persisted extraction — no pipeline replay
+      cfg.thumbnails.foreach { case (w, h) =>
+        graft.ops.Thumbnails.generate(extracted, w, h).write.mode("overwrite")
+          .parquet(s"$outputRoot/_thumbnails/snap-$id")
+      }
       id
     } finally extracted.unpersist()
   }

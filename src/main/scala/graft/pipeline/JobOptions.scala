@@ -26,7 +26,8 @@ object JobOptions {
     "html" -> Set("text", "spans"),
     "pdf" -> Set("text", "spans"),
     "ooxml" -> Set("text", "spans"),
-    "odf" -> Set("text", "spans"),
+    "odf" -> Set("text", "spans"), // whole family: odt/ods/odp/odg + sx*
+    "rtf" -> Set("text", "spans"),
     "text" -> Set("text"))
 
   private val KnownKeys =

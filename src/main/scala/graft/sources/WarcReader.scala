@@ -1,9 +1,8 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, EOFException, InputStream}
+import java.io.{ByteArrayInputStream, EOFException, InputStream, PushbackInputStream}
 import java.nio.charset.StandardCharsets
 import java.util.zip.GZIPInputStream
-import scala.collection.mutable.ArrayBuffer
 import scala.util.control.NonFatal
 
 import graft.core.Page
@@ -14,11 +13,14 @@ import graft.core.Page
   * HTTP payload after the response headers becomes the page's `html`
   * bytes, `WARC-Target-URI` the url, `WARC-Date` the timestamp.
   *
-  * Deterministic and never-throw: malformed records/headers are skipped
-  * (a crawl archive always contains some), bounded by per-record and
-  * per-file caps. Handles plain and gzip-compressed files, including the
-  * Common-Crawl layout of one gzip MEMBER per record (GZIPInputStream
-  * reads concatenated members transparently).
+  * Deterministic and never-throw. Malformed records (bad header line,
+  * unparseable/oversized Content-Length, truncated body) are SKIPPED and
+  * the reader RESYNCS by scanning forward to the next `\r\n\r\nWARC/`
+  * record boundary — one bad record in a real crawl archive must not lose
+  * the file's tail. The skip count is surfaced via [[recordsWithStats]].
+  * Handles plain and gzip-compressed files, including the Common-Crawl
+  * layout of one gzip MEMBER per record (GZIPInputStream reads
+  * concatenated members transparently).
   */
 object WarcReader {
 
@@ -28,7 +30,12 @@ object WarcReader {
   val MaxRecordsPerFile = 1 << 20
 
   /** Parse every response record of one WARC file (plain or gzip). */
-  def records(fileBytes: Array[Byte]): Vector[Page] = {
+  def records(fileBytes: Array[Byte]): Vector[Page] =
+    recordsWithStats(fileBytes)._1
+
+  /** Response records plus the count of malformed records skipped over
+    * (framing recovered by boundary resync). */
+  def recordsWithStats(fileBytes: Array[Byte]): (Vector[Page], Long) = {
     try {
       val in: InputStream =
         if (fileBytes.length >= 2 && (fileBytes(0) & 0xff) == 0x1f &&
@@ -36,33 +43,62 @@ object WarcReader {
           new GZIPInputStream(new ByteArrayInputStream(fileBytes), 1 << 16)
         else new ByteArrayInputStream(fileBytes)
       try readAll(in) finally in.close()
-    } catch { case NonFatal(_) => Vector.empty }
+    } catch { case NonFatal(_) => (Vector.empty, 0L) }
   }
 
-  private def readAll(in: InputStream): Vector[Page] = {
+  private sealed trait Rec
+  private final case class RecPage(p: Page) extends Rec
+  private case object RecSkipped extends Rec // valid framing, non-response
+  private case object RecMalformed extends Rec // framing lost: resync needed
+  private case object RecEof extends Rec
+
+  private def readAll(in0: InputStream): (Vector[Page], Long) = {
+    val in = new PushbackInputStream(in0, 8)
     val out = Vector.newBuilder[Page]
+    var skipped = 0L
     var n = 0
     var eof = false
     while (!eof && n < MaxRecordsPerFile) {
       readRecord(in) match {
-        case Some(pageOpt) =>
-          pageOpt.foreach(out += _)
+        case RecEof => eof = true
+        case RecPage(p) => out += p; n += 1
+        case RecSkipped => n += 1
+        case RecMalformed =>
+          skipped += 1
           n += 1
-        case None => eof = true
+          if (!resync(in)) eof = true
       }
     }
-    out.result()
+    (out.result(), skipped)
   }
 
-  /** One WARC record: Some(Some(page)) for a parsed response,
-    * Some(None) for a skipped record, None at end of stream. */
-  private def readRecord(in: InputStream): Option[Option[Page]] = {
+  private val WarcMagic = "WARC/".getBytes(StandardCharsets.US_ASCII)
+
+  /** Scan forward to the next `\r\n\r\nWARC/` boundary; push the `WARC/`
+    * back so the next header read starts clean. False at end of stream. */
+  private def resync(in: PushbackInputStream): Boolean = {
+    val pat = "\r\n\r\nWARC/".getBytes(StandardCharsets.US_ASCII)
+    var m = 0
+    var b = in.read()
+    while (b >= 0) {
+      if (b == pat(m)) {
+        m += 1
+        if (m == pat.length) { in.unread(WarcMagic); return true }
+      } else m = if (b == pat(0)) 1 else 0
+      b = in.read()
+    }
+    false
+  }
+
+  /** One WARC record. */
+  private def readRecord(in: PushbackInputStream): Rec = {
     val headerBlock = readUntilBlankLine(in) match {
-      case null => return None
+      case null => return RecEof // clean end of stream
+      case "" => return RecMalformed // truncated/oversized header
       case h => h
     }
     val lines = headerBlock.split("\r\n")
-    if (lines.isEmpty || !lines(0).startsWith("WARC/")) return None
+    if (lines.isEmpty || !lines(0).startsWith("WARC/")) return RecMalformed
     var warcType: String = null
     var uri: String = null
     var date: String = null
@@ -82,26 +118,27 @@ object WarcReader {
         }
       }
     }
-    if (len < 0 || len > MaxPayload) return None // framing lost: stop
+    if (len < 0 || len > MaxPayload) return RecMalformed // framing lost
     val body = readFully(in, len.toInt) match {
-      case null => return None
+      case null => return RecMalformed // truncated body
       case b => b
     }
     skipRecordSeparator(in)
     if (warcType != "response" || uri == null || date == null)
-      return Some(None) // warcinfo/request/metadata records: skipped
+      return RecSkipped // warcinfo/request/metadata records: skipped
     // body = HTTP response; payload starts after the header terminator
     val split = indexOfDoubleCrlf(body)
     val payload =
       if (split < 0) body // non-HTTP response content: take as-is
       else java.util.Arrays.copyOfRange(body, split + 4, body.length)
-    val ts = parseWarcDate(date).getOrElse(return Some(None))
-    Some(Some(Page(uri, ts, payload, null, null)))
+    val ts = parseWarcDate(date).getOrElse(return RecSkipped)
+    RecPage(Page(uri, ts, payload, null, null))
   }
 
-  /** Header block up to and excluding the blank line; null at EOF. */
+  /** Header block up to and excluding the blank line; null at clean EOF
+    * (no bytes), "" when truncated or oversized. */
   private def readUntilBlankLine(in: InputStream): String = {
-    val buf = new ArrayBuffer[Byte](512)
+    val buf = new scala.collection.mutable.ArrayBuffer[Byte](512)
     var b = in.read()
     // skip leading CRLFs between records
     while (b == '\r' || b == '\n') b = in.read()
@@ -114,7 +151,7 @@ object WarcReader {
         return new String(buf.dropRight(4).toArray, StandardCharsets.ISO_8859_1)
       b = in.read()
     }
-    null // truncated/oversized header
+    "" // truncated/oversized header
   }
 
   private def readFully(in: InputStream, len: Int): Array[Byte] = {
@@ -128,13 +165,16 @@ object WarcReader {
     b
   }
 
-  private def skipRecordSeparator(in: InputStream): Unit = {
-    // records are followed by \r\n\r\n; tolerate missing bytes at EOF
+  /** Consume the `\r\n\r\n` record separator; a non-CRLF byte (malformed
+    * separator) is PUSHED BACK so the next record's header is intact. */
+  private def skipRecordSeparator(in: PushbackInputStream): Unit = {
     try {
       var k = 0
       while (k < 4) {
         val b = in.read()
-        if (b < 0 || !(b == '\r' || b == '\n')) k = 4 else k += 1
+        if (b < 0) k = 4
+        else if (b == '\r' || b == '\n') k += 1
+        else { in.unread(b); k = 4 }
       }
     } catch { case _: EOFException => }
   }

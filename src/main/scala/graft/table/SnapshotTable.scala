@@ -26,6 +26,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class SnapshotTable(val root: String) {
 
+  /** Directory listing with the stream CLOSED (Files.list leaks the
+    * directory fd until the stream is closed — driver-side, bounded, but a
+    * long-lived driver sweeping many tables would accumulate them). */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   private def dataDir(id: Long): Path = Paths.get(root, "data", s"snap-$id")
   private def manifestPath(id: Long): Path = Paths.get(root, "manifests", s"snap-$id.json")
   private def currentPath: Path = Paths.get(root, "CURRENT")
@@ -71,14 +79,20 @@ final class SnapshotTable(val root: String) {
 
   /** Guard against appending a snapshot whose schema-affecting meta value
     * differs from the chain's (e.g. a text-only commit onto a full-rows
-    * table — the union read would fail on mixed schemas). */
-  def requireMetaConsistent(key: String, value: String): Unit =
+    * table — the union read would fail on mixed schemas). A non-empty chain
+    * whose manifest predates the key is treated as `defaultForMissing`
+    * (when given) rather than skipped — otherwise a pre-upgrade chain would
+    * accept exactly the mixed-schema append the guard exists to prevent. */
+  def requireMetaConsistent(key: String, value: String,
+      defaultForMissing: String = null): Unit =
     currentSnapshotId.foreach { cur =>
-      readManifest(cur).meta.get(key).foreach { prev =>
-        require(prev == value,
-          s"table at $root has $key=$prev; refusing to append $key=$value " +
-            "(mixed snapshot schemas would break reads)")
-      }
+      readManifest(cur).meta.get(key)
+        .orElse(Option(defaultForMissing))
+        .foreach { prev =>
+          require(prev == value,
+            s"table at $root has $key=$prev; refusing to append $key=$value " +
+              "(mixed snapshot schemas would break reads)")
+        }
     }
 
   /** Chain of snapshot ids from CURRENT back to the first. */
@@ -106,8 +120,8 @@ final class SnapshotTable(val root: String) {
     df.observe(obs, org.apache.spark.sql.functions.count(
       org.apache.spark.sql.functions.lit(1)).as("rows"))
       .write.mode("overwrite").parquet(dir.toString)
-    val files = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+    val files = listDir(dir)
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
     val rows = obs.get("rows").asInstanceOf[Long]
     writeManifest(Manifest(id, parent, files, rows, meta))
     val tmp = Paths.get(root, ".CURRENT.tmp")
@@ -143,8 +157,8 @@ final class SnapshotTable(val root: String) {
     current.observe(obs, org.apache.spark.sql.functions.count(
       org.apache.spark.sql.functions.lit(1)).as("rows"))
       .write.mode("overwrite").parquet(dir.toString)
-    val files = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+    val files = listDir(dir)
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
     val rows = obs.get("rows").asInstanceOf[Long]
     writeManifest(Manifest(id, -1L, files, rows, meta)) // -1: new base, no parent
     val tmp = Paths.get(root, ".CURRENT.tmp")
@@ -163,7 +177,7 @@ final class SnapshotTable(val root: String) {
     if (!Files.exists(dataRoot)) return Nil
     val live = snapshotChain.map(id => s"snap-$id").toSet
     val removed = Seq.newBuilder[String]
-    Files.list(dataRoot).iterator().asScala.toSeq.foreach { p =>
+    listDir(dataRoot).foreach { p =>
       val name = p.getFileName.toString
       if (!live.contains(name)) {
         deleteRecursively(p)
@@ -175,7 +189,7 @@ final class SnapshotTable(val root: String) {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+      listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

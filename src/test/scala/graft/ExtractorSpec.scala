@@ -240,6 +240,115 @@ class ExtractorSpec extends AnyFunSuite {
     assert(z.status == "non-convertable" && z.mimeType == "application/zip")
   }
 
+  test("full ODF family + StarOffice sx* route through the content.xml extractor") {
+    val cells = Seq("alpha cell", "beta & <cell>")
+    val s = Extractor.extract("u", ZipGen.ods(cells))
+    assert(s.status == "finished" && s.detectedKind == "odf")
+    assert(s.mimeType == "application/vnd.oasis.opendocument.spreadsheet")
+    assert(new String(s.text, StandardCharsets.UTF_8) == "alpha cell\nbeta & <cell>")
+
+    val p = Extractor.extract("u", ZipGen.odp(Seq(Seq("slide one"), Seq("slide two"))))
+    assert(p.status == "finished" && p.detectedKind == "odf")
+    assert(p.mimeType == "application/vnd.oasis.opendocument.presentation")
+    assert(new String(p.text, StandardCharsets.UTF_8) == "slide one\nslide two")
+
+    val g = Extractor.extract("u", ZipGen.odg(Seq("frame text")))
+    assert(g.status == "finished" &&
+      g.mimeType == "application/vnd.oasis.opendocument.graphics")
+    assert(new String(g.text, StandardCharsets.UTF_8) == "frame text")
+
+    val w = Extractor.extract("u", ZipGen.sx("writer", Seq("star writer para")))
+    assert(w.status == "finished" && w.detectedKind == "odf")
+    assert(w.mimeType == "application/vnd.sun.xml.writer")
+    assert(new String(w.text, StandardCharsets.UTF_8) == "star writer para")
+  }
+
+  test("odt opener matching is tag-exact: text:page-number is not a paragraph") {
+    // hand-built content.xml where <text:page-number> and <text:page-count>
+    // PRECEDE the real paragraphs — a prefix match would derail the scan
+    val content =
+      """<?xml version="1.0"?><office:document-content><office:body><office:text>
+        |<text:p>before <text:page-number>7</text:page-number> after</text:p>
+        |<text:page-count>9</text:page-count>
+        |<text:p>second para</text:p>
+        |</office:text></office:body></office:document-content>""".stripMargin
+    val payload = graft.corpus.ZipGen.zip(Seq(
+      "mimetype" -> "application/vnd.oasis.opendocument.text".getBytes(StandardCharsets.US_ASCII),
+      "content.xml" -> content.getBytes(StandardCharsets.UTF_8)))
+    val e = Extractor.extract("u", payload)
+    assert(e.status == "finished", s"msg=${e.message}")
+    assert(new String(e.text, StandardCharsets.UTF_8) ==
+      "before 7 after\nsecond para")
+  }
+
+  test("rtf: control words stripped, escapes decoded, destinations skipped") {
+    val paras = Seq("First paragraph with äöå.", "Second & last {brace}.")
+    val e = Extractor.extract("u", graft.corpus.LegacyGen.rtf(paras))
+    assert(e.status == "finished" && e.detectedKind == "rtf")
+    assert(e.mimeType == "text/rtf")
+    assert(new String(e.text, StandardCharsets.UTF_8) == paras.mkString("\n"))
+    assert(e.spans.length == 2 && e.spans.forall(_.kind == "p"))
+    // hand-written features: \'xx hex escape, \tab, nested skip groups,
+    // \uc0 unicode with no fallback, escaped braces
+    val rtf = ("{\\rtf1\\ansi{\\fonttbl{\\f0 X;}}" +
+      "\\uc0 A\\'e4B\\tab\\u8212 C \\{lit\\}\\par done\\par}").getBytes
+    val e2 = Extractor.extract("u", rtf)
+    assert(e2.status == "finished", s"msg=${e2.message}")
+    assert(new String(e2.text, StandardCharsets.UTF_8) == "AäB\t—C {lit}\ndone")
+  }
+
+  test("rtf never throws on truncations and garbage control words") {
+    val good = graft.corpus.LegacyGen.rtf(Seq("some paragraph here"))
+    (1 until good.length by 13).foreach { cut =>
+      val e = Extractor.extract("u", java.util.Arrays.copyOf(good, cut))
+      assert(e.status != null)
+    }
+    val weird = "{\\rtf1\\bin999999999 x\\u-99999?\\'zz\\unknownword123456789{{{".getBytes
+    assert(Extractor.extract("u", weird).status != null)
+  }
+
+  test("legacy OLE2/CFB office files detect with the right mimetype") {
+    import graft.corpus.LegacyGen
+    val junk = Array.tabulate[Byte](900)(i => (i * 31).toByte)
+    val doc = Extractor.extract("u", LegacyGen.cfb("WordDocument", junk))
+    assert(doc.mimeType == "application/msword" && doc.detectedKind == "ole2")
+    assert(doc.status == "non-convertable")
+    assert(Extractor.extract("u", LegacyGen.cfb("Workbook", junk)).mimeType ==
+      "application/vnd.ms-excel")
+    assert(Extractor.extract("u", LegacyGen.cfb("PowerPoint Document", junk)).mimeType ==
+      "application/vnd.ms-powerpoint")
+    // unknown compound file: generic CFB mimetype, still typed
+    val other = Extractor.extract("u", LegacyGen.cfb("SummaryInformation", junk))
+    assert(other.mimeType == "application/x-cfb" && other.status == "non-convertable")
+    // truncations never throw
+    val full = LegacyGen.cfb("WordDocument", junk)
+    (1 until full.length by 97).foreach { cut =>
+      assert(Extractor.extract("u", java.util.Arrays.copyOf(full, cut)).status != null)
+    }
+  }
+
+  test("iWork and epub zips classify by member layout / mimetype member") {
+    import graft.corpus.ZipGen
+    val junk = Array.tabulate[Byte](64)(_.toByte)
+    assert(Sniffer.sniff(ZipGen.iwork("pages", junk)) == "application/x-iwork-pages-sffpages")
+    assert(Sniffer.sniff(ZipGen.iwork("keynote", junk)) == "application/x-iwork-keynote-sffkey")
+    assert(Sniffer.sniff(ZipGen.iwork("numbers", junk)) == "application/x-iwork-numbers-sffnumbers")
+    val ep = Extractor.extract("u", ZipGen.epub(Seq("chapter text")))
+    assert(ep.mimeType == "application/epub+zip" && ep.detectedKind == "epub")
+    assert(ep.status == "non-convertable")
+  }
+
+  test("tiff and heif/heic signatures sniff with the registry mimetypes") {
+    assert(Sniffer.sniff(Array[Byte]('I', 'I', 0x2a, 0, 8, 0, 0, 0)) == "image/tiff")
+    assert(Sniffer.sniff(Array[Byte]('M', 'M', 0, 0x2a, 0, 0, 0, 8)) == "image/tiff")
+    def ftyp(brand: String) =
+      Array[Byte](0, 0, 0, 0x20, 'f', 't', 'y', 'p') ++ brand.getBytes ++ new Array[Byte](16)
+    assert(Sniffer.sniff(ftyp("heic")) == "image/heic")
+    assert(Sniffer.sniff(ftyp("mif1")) == "image/heif")
+    assert(Sniffer.sniff(ftyp("isom")) == "video/mp4")
+    assert(Sniffer.sniff(ftyp("M4A ")) == "audio/mp4")
+  }
+
   test("ooxml never throws on corrupt members and truncated zips") {
     val good = ZipGen.docx(Seq("some paragraph"))
     (1 until good.length by 37).foreach { cut =>

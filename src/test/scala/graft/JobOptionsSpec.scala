@@ -71,10 +71,38 @@ class JobOptionsSpec extends AnyFunSuite {
       Right(JobOptions.Options(outputPdfVersion = "2", thumbnails = Some((8, 8)))))
   }
 
+  test("thumbnails option produces a sized artifact sidecar end-to-end") {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-thumb").toString
+    val pages = graft.corpus.CorpusWriter.pagesDs(spark, 120L, partitions = 3)
+    val id = graft.pipeline.ExtractPipeline.runAndCommit(spark, pages, dir,
+      graft.pipeline.ExtractPipeline.Config(partitions = 4,
+        thumbnails = Some((24, 16))))
+    assert(id >= 0)
+    val thumbs = spark.read.parquet(s"$dir/_thumbnails/snap-$id").collect()
+    val finished = new graft.table.SnapshotTable(dir).read(spark).get
+      .where(org.apache.spark.sql.functions.col("status") === "finished").count()
+    assert(thumbs.length.toLong == finished && finished > 0)
+    thumbs.foreach { r =>
+      assert(r.getAs[Int]("width") == 24 && r.getAs[Int]("height") == 16)
+      val png = r.getAs[Array[Byte]]("png")
+      // a real PNG: signature + IHDR dims round-trip through the header parser
+      assert(graft.ops.Multimodal.pngDims(png) == ((24, 16)))
+      assert(graft.extract.Sniffer.sniff(png) == "image/png")
+    }
+    // thumbnails are deterministic per url (content-seeded pixels)
+    val again = graft.ops.Thumbnails.generate(
+      graft.pipeline.ExtractPipeline.run(pages,
+        graft.pipeline.ExtractPipeline.Config(partitions = 4)), 24, 16)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](3).toSeq).toMap
+    val first = thumbs.map(r => r.getString(0) -> r.getAs[Array[Byte]]("png").toSeq).toMap
+    assert(again == first)
+  }
+
   test("attachment policy follows the validated pdf version end-to-end") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._
-    // pages rows 75-77 are pdf-attachments categories
+    // pages rows 66-68 are pdf-attachments categories
     val pages = graft.corpus.CorpusWriter.pagesDs(spark, 100L, partitions = 4)
     def attCount(version: String): Long =
       graft.pipeline.ExtractPipeline.run(pages,

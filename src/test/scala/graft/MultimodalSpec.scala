@@ -11,13 +11,17 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("media metadata: types detected, image dims + wav format parsed") {
     val spark = TestSpark.spark
-    val pages = CorpusWriter.pagesDs(spark, 700L, partitions = 4)
+    // 900 rows: media-junk variant rotates by idx/100, so all 8 variants
+    // (mp4, flac, png, gif, jpeg, wav, tiff, webp) appear
+    val pages = CorpusWriter.pagesDs(spark, 900L, partitions = 4)
     val meta = Multimodal.mediaMeta(pages).collect()
     assert(meta.nonEmpty)
     val types = meta.map(_.mediaType).toSet
     assert(Set("video/mp4", "audio/flac", "image/png", "image/gif",
-      "image/jpeg", "audio/wav").subsetOf(types), s"got $types")
-    Seq("image/png", "image/gif", "image/jpeg").foreach { t =>
+      "image/jpeg", "audio/wav", "image/tiff", "image/webp").subsetOf(types),
+      s"got $types")
+    Seq("image/png", "image/gif", "image/jpeg", "image/tiff", "image/webp")
+      .foreach { t =>
       val imgs = meta.filter(_.mediaType == t)
       assert(imgs.nonEmpty, t)
       imgs.foreach { m =>
@@ -33,6 +37,21 @@ class MultimodalSpec extends AnyFunSuite {
     }
     // non-media payloads excluded
     assert(meta.forall(m => !m.mediaType.startsWith("text/")))
+  }
+
+  test("tiff dims: big-endian + LONG-typed entries parse; junk never throws") {
+    val be = Array[Byte]('M', 'M', 0, 0x2a, 0, 0, 0, 8,
+      0, 2, // 2 entries
+      1, 0, 0, 4, 0, 0, 0, 1, 0, 0, 2, 0, // tag 256 LONG 512
+      1, 1, 0, 3, 0, 0, 0, 1, 1, 0, 0, 0, // tag 257 SHORT 256
+      0, 0, 0, 0)
+    assert(Multimodal.tiffDims(be) == ((512, 256)))
+    assert(Multimodal.tiffDims(Array[Byte]('I', 'I', 0x2a, 0)) == ((-1, -1)))
+    // IFD offset pointing out of bounds / negative: safe
+    assert(Multimodal.tiffDims(Array[Byte]('I', 'I', 0x2a, 0,
+      -1, -1, -1, -1)) == ((-1, -1)))
+    assert(Multimodal.webpDims("RIFF0000WEBPVP8 ".getBytes ++
+      new Array[Byte](16)) == ((-1, -1)))
   }
 
   test("stub decode: deterministic features, fixed dim, video frame samples") {

@@ -98,6 +98,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(out("https://x.test/doc-b") == sOut, "doc-b must keep the small (newer)")
   }
 
+  test("null-html rows survive the giant split as corrupted status rows") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.core.Page
+    def ts(ms: Long) = new java.sql.Timestamp(1735689600000L + ms)
+    val rows = Seq(
+      Page("https://x.test/null-doc", ts(1000), null, null, "en"),
+      Page("https://x.test/ok-doc", ts(1000),
+        "plain text body with enough words".getBytes("UTF-8"), null, "en"))
+    val pages = spark.createDataset(rows).toDF().repartition(2)
+    val out = ExtractPipeline.run(pages, ExtractPipeline.Config(partitions = 2))
+      .collect().map(e => e.url -> e.status).toMap
+    assert(out.size == 2, s"null-html row dropped: ${out.keySet}")
+    assert(out("https://x.test/null-doc") == "corrupted")
+    // and identically through the zero-shuffle colocated path
+    val out2 = ExtractPipeline.run(pages,
+        ExtractPipeline.Config(assumeColocated = true))
+      .collect().map(e => e.url -> e.status).toMap
+    assert(out2 == out)
+  }
+
   test("driver contract: entry() returns rows; every query has a function") {
     val spark = TestSpark.spark
     assert(SparkEntry.entry(spark).count() > 0)

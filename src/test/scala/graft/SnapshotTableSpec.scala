@@ -110,6 +110,23 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(out("b.bin") == "corrupted")
   }
 
+  test("meta guard treats a pre-upgrade chain (no key) as the default") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = new SnapshotTable(tmpDir())
+    // commit WITHOUT the conversionFormat key (a pre-upgrade manifest)
+    t.commit(Seq(("a", 1L)).toDF("url", "v"))
+    // same-as-default value passes
+    t.requireMetaConsistent("conversionFormat", "spans", defaultForMissing = "spans")
+    // a different projection must be refused, not silently accepted
+    val e = intercept[IllegalArgumentException] {
+      t.requireMetaConsistent("conversionFormat", "text", defaultForMissing = "spans")
+    }
+    assert(e.getMessage.contains("conversionFormat"))
+    // without a default the missing key still skips (generic keys)
+    t.requireMetaConsistent("someOtherKey", "anything")
+  }
+
   test("sweepOrphans removes data dirs with no manifest (crashed commit)") {
     val spark = TestSpark.spark
     import spark.implicits._
