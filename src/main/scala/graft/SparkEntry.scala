@@ -18,11 +18,20 @@ import graft.pipeline.ExtractPipeline
   *    lang-id, MinHash+LSH, brute Jaccard, SimHash, fingerprint, clusters)
   *  - e01..e04: embedding similarity (brute-force cosine top-k, LSH ANN,
   *    brute near-dup pairs, IVF ANN)
-  *  - x01..x06: the extraction pipeline itself on the synthetic pages
-  *    corpus (no SQL oracle possible — correctness is gated by the golden
-  *    byte-equality suite in `sbt test`; driver records rows>0). x05
-  *    exercises the nested attachments array + re-attach filter policy;
-  *    x06 the WARC (Common-Crawl archive) ingest path.
+  *  - x01..x07: the extraction pipeline itself on the synthetic pages
+  *    corpus. Extraction can't be replicated in SQL, but its AGGREGATION
+  *    layer is oracle-checked: the x02/x04/x05/x07 queries export per-doc
+  *    rows to a fixed path and the static oracle SQL re-aggregates them in
+  *    DuckDB (x01/x03/x04/x05/x06/x07 all value-compared; x02 itself stays
+  *    rows-only + golden-gated). x05 exercises the nested attachments
+  *    array + re-attach filter policy; x06 the WARC (Common-Crawl archive)
+  *    ingest path — its counts must equal the parquet path's; x07 the
+  *    thumbnail artifact fan-out.
+  *
+  * Oracle coverage: 29/35. The 6 rows-only queries are hash-seeded ops
+  * DuckDB cannot express (d08 winnowing, e02 sign-LSH, e04 IVF — each
+  * cross-checked against exact/brute twins in OpsSpec), the multimodal
+  * header parses (m01/m02), and per-doc x02 (golden byte-equality gate).
   */
 object SparkEntry {
 
@@ -217,8 +226,16 @@ object SparkEntry {
       Dedup.minhashPairs(t(s, d, "documents"), threshold = 0.8)),
     "d06_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairsBrute(t(s, d, "documents"), threshold = 0.8)),
-    "d07_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 3)),
+    "d07_simhash_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // per-doc signatures exported: the oracle BRUTE-FORCES all pairs in
+      // DuckDB (bit_count(xor)) — a completeness check that the Manku
+      // multi-table blocking misses no qualifying pair (the signature
+      // computation itself is cross-checked bit-for-bit in OpsSpec)
+      exportAndRead(docs.select(col("doc_id").as("id"),
+        Dedup.simhash(col("text")).as("sig")), "d07sigs")
+      Dedup.simhashPairs(docs, maxHamming = 3)
+    }),
     "d08_fingerprint" -> ((s, d) => TextStats.fingerprint(t(s, d, "documents"))),
     "d09_dedup_clusters" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -556,6 +573,36 @@ object SparkEntry {
         |FROM e x JOIN e y ON x.vec_id < y.vec_id
         |WHERE ROUND(list_cosine_similarity(x.v, y.v), 4) >= 0.45
         |ORDER BY a, b""".stripMargin,
+    // simhash pairs: DuckDB brute-forces ALL pairs over the exported
+    // signatures — if the Manku blocking dropped any qualifying pair (or
+    // admitted a wrong one), the row sets would differ. hamming is cast to
+    // INT to match Spark's bit_count type.
+    "d07_simhash_pairs" ->
+      s"""WITH s AS (SELECT id, sig FROM read_parquet('$ExportRoot/d07sigs/*.parquet'))
+         |SELECT x.id AS a, y.id AS b,
+         | CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+         |FROM s x JOIN s y ON x.id < y.id
+         |WHERE bit_count(xor(x.sig, y.sig)) <= 3""".stripMargin,
+    // dedup clusters: connected components of the d05 near-dup graph,
+    // computed in DuckDB with a recursive transitive closure + min-label —
+    // an independent implementation of the whole clusters operator
+    "d09_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+        |   for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS g FROM toks),
+        |pairs AS (
+        | SELECT a.doc_id AS a, b.doc_id AS b
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.g, b.g))), 4) >= 0.8),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(x, y) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a)
+        |SELECT x AS doc_id, MIN(y) AS cluster_id FROM reach GROUP BY x""".stripMargin,
     // ------------------------------------------------ extraction exports
     // The oracle cannot replicate extraction, but it CAN independently
     // re-aggregate the engine's own per-doc exports (fixed paths written by
