@@ -104,6 +104,9 @@ object Heuristics {
     * v4: full ODF family (ods/odp/odg) + StarOffice sx* routed through the
     * content.xml extractor (with exact tag-boundary opener matching), RTF
     * extraction, OLE2/CFB + RTF + TIFF + HEIC/HEIF signatures, iWork/epub
-    * zip classification. */
-  val Version = "v4"
+    * zip classification.
+    * v5: legacy OLE2 Office EXTRACTION — CFB FAT/ministream reader, MS-DOC
+    * piece-table text, BIFF8 SST, PPT text atoms; CFB sniffing upgraded
+    * from byte scan to a real directory walk. */
+  val Version = "v5"
 }

@@ -47,8 +47,11 @@ object PagesGen {
     * parseable headers.
     * c6: full format registry — ods/odp/odg, legacy OLE2 doc/xls/ppt, rtf,
     * StarOffice sx*, iWork/epub zips; media-junk adds tiff + webp-VP8X;
-    * category map re-sliced (dup pair now 83/84). */
-  val CorpusVersion = "c6"
+    * category map re-sliced (dup pair now 83/84).
+    * c7: the OLE2 categories carry REAL Office content (MS-DOC FIB + piece
+    * table, BIFF8 SST, PPT text atoms in a proper multi-stream CFB with
+    * ministream) and extract as finished. */
+  val CorpusVersion = "c7"
 
   // fixed multilingual word pools (fi / sv / en flavor for `lang` variety)
   private val WordsEn = Array(
@@ -147,9 +150,8 @@ object PagesGen {
     case "truncated" => "corrupted"
     case "empty" => "corrupted"
     case "zip-plain" => "non-convertable"
-    // detected + correctly typed, conversion out of scope (the reference
-    // shells out to LibreOffice for OLE2; iWork/epub it does not convert)
-    case "cfb-doc" | "cfb-xls" | "cfb-ppt" | "exotic-zip" => "non-convertable"
+    // detected + correctly typed; iWork/epub the reference does not convert
+    case "exotic-zip" => "non-convertable"
     case _ => "finished"
   }
 
@@ -223,11 +225,12 @@ object PagesGen {
       case "odg" =>
         ZipGen.odg((0 until 2 + r.nextInt(4)).map(_ => sentence(r, lang)))
       case "cfb-doc" =>
-        LegacyGen.cfb("WordDocument", junkBytes(r, 600 + r.nextInt(1200)))
+        LegacyGen.doc((0 until 3 + r.nextInt(6)).map(_ => paragraph(r, lang, 2 + r.nextInt(3))))
       case "cfb-xls" =>
-        LegacyGen.cfb("Workbook", junkBytes(r, 600 + r.nextInt(1200)))
+        LegacyGen.xls((0 until 5 + r.nextInt(10)).map(_ => sentence(r, lang)))
       case "cfb-ppt" =>
-        LegacyGen.cfb("PowerPoint Document", junkBytes(r, 600 + r.nextInt(1200)))
+        LegacyGen.ppt((0 until 1 + r.nextInt(3)).map(_ =>
+          (0 until 2 + r.nextInt(3)).map(_ => sentence(r, lang))))
       case "rtf" =>
         LegacyGen.rtf((0 until 3 + r.nextInt(6)).map(_ => paragraph(r, lang, 2 + r.nextInt(3))))
       case "staroffice" =>

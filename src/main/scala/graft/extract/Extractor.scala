@@ -52,6 +52,12 @@ object Extractor {
       case Sniffer.MimePptx => ooxml(url, mime, OoxmlParser.extractPptx(payload))
       case Sniffer.MimeXlsx => ooxml(url, mime, OoxmlParser.extractXlsx(payload))
       case Sniffer.MimeRtf => ooxml(url, mime, RtfParser.extract(payload))
+      // legacy OLE2 Office binaries (config.yml:40-70): hand-written
+      // CFB walk + format parsers (MS-DOC piece table / BIFF8 SST / PPT
+      // text atoms) where the reference shells out to LibreOffice
+      case Sniffer.MimeDoc => ooxml(url, mime, LegacyOffice.extractDoc(payload))
+      case Sniffer.MimeXls => ooxml(url, mime, LegacyOffice.extractXls(payload))
+      case Sniffer.MimePpt => ooxml(url, mime, LegacyOffice.extractPpt(payload))
       // the WHOLE OpenDocument family (odt/ods/odp/odg, config.yml:134-153)
       // and its StarOffice sx* predecessors (config.yml:75-89) share the
       // content.xml text:p/text:h extraction path

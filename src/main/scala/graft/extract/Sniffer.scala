@@ -154,16 +154,21 @@ object Sniffer {
   }
 
   /** OLE2/CFB compound files (legacy Office): classify doc/xls/ppt by the
-    * characteristic directory-entry stream names ("WordDocument",
-    * "Workbook"/"Book", "PowerPoint Document" — UTF-16LE in the directory
-    * sectors). A full FAT walk is unnecessary for classification: the
-    * names are unique enough that a bounded byte scan is exact in practice
-    * and never misroutes (unknown CFB -> generic compound mimetype). */
+    * characteristic directory stream names ("WordDocument",
+    * "Workbook"/"Book", "PowerPoint Document"). Primary path: a REAL
+    * directory walk (CfbReader — exact, immune to look-alike bytes in
+    * stream content). Fallback for containers too mangled to walk: a
+    * bounded UTF-16LE byte scan over the payload, so a truncated .doc
+    * still surfaces typed rather than Unknown/Corrupted. */
   private def sniffCfb(b: Array[Byte]): String = {
-    if (containsUtf16(b, "WordDocument")) MimeDoc
-    else if (containsUtf16(b, "Workbook") || containsUtf16(b, "Book")) MimeXls
-    else if (containsUtf16(b, "PowerPoint Document")) MimePpt
-    else MimeCfb
+    val names = CfbReader.streamNames(b)
+    def classify(has: String => Boolean): String =
+      if (has("WordDocument")) MimeDoc
+      else if (has("Workbook") || has("Book")) MimeXls
+      else if (has("PowerPoint Document")) MimePpt
+      else MimeCfb
+    if (names.nonEmpty) classify(names.contains)
+    else classify(containsUtf16(b, _))
   }
 
   private val MaxCfbScan = 4 << 20 // directory sectors live well before 4 MB

@@ -70,6 +70,9 @@ object FuzzSweep {
       PdfGen.build(PdfGen.PdfSpec(Seq(Seq("line one", "line two")),
         attachments = Seq("a.pdf" -> PdfGen.build(PdfGen.PdfSpec(Seq(Seq("inner"))))))),
       LegacyGen.rtf(Seq("rtf paragraph one", "and two")),
+      LegacyGen.doc(Seq("word paragraph one", "and two")),
+      LegacyGen.xls(Seq("cell a", "cell b")),
+      LegacyGen.ppt(Seq(Seq("slide text"))),
       LegacyGen.cfb("WordDocument", Array.tabulate[Byte](700)(i => (i * 17).toByte)),
       ZipGen.ods(Seq("cell a", "cell b")),
       ZipGen.epub(Seq("chapter")),

@@ -307,23 +307,52 @@ class ExtractorSpec extends AnyFunSuite {
     assert(Extractor.extract("u", weird).status != null)
   }
 
-  test("legacy OLE2/CFB office files detect with the right mimetype") {
+  test("legacy .doc round-trips text through the CFB + piece-table path") {
+    import graft.corpus.LegacyGen
+    val paras = Seq("First Word paragraph with äöå.", "Second one & more.",
+      "Third — em dash and ü.")
+    val e = Extractor.extract("u", LegacyGen.doc(paras))
+    assert(e.status == "finished", s"msg=${e.message}")
+    assert(e.mimeType == "application/msword" && e.detectedKind == "ole2")
+    assert(new String(e.text, StandardCharsets.UTF_8) == paras.mkString("\n"))
+    assert(e.spans.length == 3 && e.spans.forall(_.kind == "p"))
+  }
+
+  test("legacy .xls SST and .ppt text atoms round-trip") {
+    import graft.corpus.LegacyGen
+    val cells = Seq("alpha cell", "béta cëll", "gamma")
+    val x = Extractor.extract("u", LegacyGen.xls(cells))
+    assert(x.status == "finished", s"msg=${x.message}")
+    assert(x.mimeType == "application/vnd.ms-excel")
+    assert(new String(x.text, StandardCharsets.UTF_8) == cells.mkString("\n"))
+    assert(x.spans.forall(_.kind == "cell"))
+
+    val slides = Seq(Seq("slide one title", "ünïcode body"), Seq("slide two"))
+    val p = Extractor.extract("u", LegacyGen.ppt(slides))
+    assert(p.status == "finished", s"msg=${p.message}")
+    assert(p.mimeType == "application/vnd.ms-powerpoint")
+    assert(new String(p.text, StandardCharsets.UTF_8) ==
+      slides.flatten.mkString("\n"))
+  }
+
+  test("unknown compound files stay typed; OLE2 truncations never throw") {
     import graft.corpus.LegacyGen
     val junk = Array.tabulate[Byte](900)(i => (i * 31).toByte)
-    val doc = Extractor.extract("u", LegacyGen.cfb("WordDocument", junk))
-    assert(doc.mimeType == "application/msword" && doc.detectedKind == "ole2")
-    assert(doc.status == "non-convertable")
-    assert(Extractor.extract("u", LegacyGen.cfb("Workbook", junk)).mimeType ==
-      "application/vnd.ms-excel")
-    assert(Extractor.extract("u", LegacyGen.cfb("PowerPoint Document", junk)).mimeType ==
-      "application/vnd.ms-powerpoint")
-    // unknown compound file: generic CFB mimetype, still typed
+    // unknown compound file: generic CFB mimetype, named non-convertable
     val other = Extractor.extract("u", LegacyGen.cfb("SummaryInformation", junk))
     assert(other.mimeType == "application/x-cfb" && other.status == "non-convertable")
-    // truncations never throw
-    val full = LegacyGen.cfb("WordDocument", junk)
+    // truncations of a REAL doc: typed when the directory survives,
+    // never a throw either way
+    val full = LegacyGen.doc(Seq("some body paragraph", "and another"))
     (1 until full.length by 97).foreach { cut =>
-      assert(Extractor.extract("u", java.util.Arrays.copyOf(full, cut)).status != null)
+      val e = Extractor.extract("u", java.util.Arrays.copyOf(full, cut))
+      assert(e.status != null)
+    }
+    // byte flips in the FAT/directory region never throw
+    (0 until 200).foreach { k =>
+      val b = full.clone()
+      b((k * 37) % b.length) = (k * 13).toByte
+      assert(Extractor.extract("u", b).status != null)
     }
   }
 
