@@ -14,8 +14,9 @@ import graft.pipeline.ExtractPipeline
   * Query families (SURVEY.md §2 Table B):
   *  - q01..q10: relational coverage (agg, joins incl. broadcast/semi/anti,
   *    window, rollup, set ops, string/date/array functions, sessionize)
-  *  - d01..d09: training-data text ops (exact dedup, token stats, quality,
-  *    lang-id, MinHash+LSH, brute Jaccard, SimHash, fingerprint, clusters)
+  *  - d01..d11: training-data text ops (exact dedup, token stats, quality,
+  *    lang-id, MinHash+LSH, brute Jaccard, SimHash, fingerprint, clusters,
+  *    benchmark decontamination, Gopher-style repetition signals)
   *  - e01..e04: embedding similarity (brute-force cosine top-k, LSH ANN,
   *    brute near-dup pairs, IVF ANN)
   *  - x01..x07: the extraction pipeline itself on the synthetic pages
@@ -28,7 +29,7 @@ import graft.pipeline.ExtractPipeline
   *    ingest path — its counts must equal the parquet path's; x07 the
   *    thumbnail artifact fan-out.
   *
-  * Oracle coverage: 29/35. The 6 rows-only queries are hash-seeded ops
+  * Oracle coverage: 31/37. The 6 rows-only queries are hash-seeded ops
   * DuckDB cannot express (d08 winnowing, e02 sign-LSH, e04 IVF — each
   * cross-checked against exact/brute twins in OpsSpec), the multimodal
   * header parses (m01/m02), and per-doc x02 (golden byte-equality gate).
@@ -241,6 +242,15 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       Dedup.clusters(docs, Dedup.minhashPairs(docs, threshold = 0.8))
     }),
+    "d10_decontaminate" -> ((s, d) => {
+      // benchmark decontamination: docs with doc_id % 50 == 0 play the
+      // held-out evaluation set; everything else is training data
+      val docs = t(s, d, "documents")
+      Dedup.decontaminate(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0), ngram = 5)
+    }),
+    "d11_repetition" -> ((s, d) => TextStats.repetition(t(s, d, "documents"))),
     // ------------------------------------------------ similarity
     "e01_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(t(s, d, "embeddings"), col("vec_id") < 20, k = 5)),
@@ -573,6 +583,36 @@ object SparkEntry {
         |FROM e x JOIN e y ON x.vec_id < y.vec_id
         |WHERE ROUND(list_cosine_similarity(x.v, y.v), 4) >= 0.45
         |ORDER BY a, b""".stripMargin,
+    "d10_decontaminate" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |g AS (
+        | SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ')
+        |   for i in range(1, greatest(len(w) - 4, 1) + 1)]) AS gs FROM toks),
+        |bench AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id % 50 = 0),
+        |docg AS (SELECT doc_id, unnest(gs) AS gr FROM g WHERE doc_id % 50 <> 0),
+        |hits AS (SELECT dg.doc_id, COUNT(*) AS c
+        |  FROM docg dg JOIN bench b ON dg.gr = b.gr GROUP BY 1)
+        |SELECT t.doc_id, COALESCE(c, 0) AS contaminated_ngrams,
+        | CAST(COALESCE(c, 0) > 0 AS INT) AS is_contaminated
+        |FROM toks t LEFT JOIN hits USING (doc_id)
+        |WHERE t.doc_id % 50 <> 0 ORDER BY 1""".stripMargin,
+    "d11_repetition" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws FROM documents),
+        |b AS (
+        | SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct,
+        |  CASE WHEN len(ws) >= 2
+        |   THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]
+        |   ELSE [] END AS bg
+        | FROM t),
+        |e AS (SELECT doc_id, unnest(bg) AS g FROM b),
+        |c AS (SELECT doc_id, g, COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |m AS (SELECT doc_id, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+        | ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 4) AS dup_word_frac,
+        | ROUND(COALESCE(CAST(mx AS DOUBLE) / tot, 0.0), 4) AS top_bigram_frac
+        |FROM b LEFT JOIN m ON b.doc_id = m.doc_id ORDER BY 1""".stripMargin,
     // simhash pairs: DuckDB brute-forces ALL pairs over the exported
     // signatures — if the Manku blocking dropped any qualifying pair (or
     // admitted a wrong one), the row sets would differ. hamming is cast to

@@ -116,6 +116,40 @@ object Dedup {
     // total sort of it is waste at 10^9 docs (consumers/driver sort slices)
   }
 
+  /** Benchmark decontamination — the standard training-data hygiene op
+    * (n-gram overlap against a held-out evaluation set, as popularized by
+    * the GPT-3 appendix): flag every training document sharing at least
+    * one word n-gram with the benchmark corpus.
+    *
+    * Scale shape: the benchmark side is SMALL (evaluation sets are MBs
+    * even when the corpus is 100 TB), so its distinct gram hashes are
+    * broadcast and the probe is a map-side hash join over the training
+    * scan — no shuffle of corpus data at all; grams travel as 8-byte
+    * xxhash64 keys, never strings. Returns one row per training doc:
+    * (id, contaminated_ngrams, is_contaminated) — zeros included, so the
+    * output doubles as the keep/drop filter input. */
+  def decontaminate(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      ngram: Int = 5): DataFrame = {
+    val bg = bench
+      .select(explode(shingles(col(textCol), ngram)).as("g"))
+      .select(xxhash64(col("g")).as("gh"))
+      .distinct()
+    val dg = docs
+      .select(col(idCol), explode(shingles(col(textCol), ngram)).as("g"))
+      .select(col(idCol), xxhash64(col("g")).as("gh"))
+    val hits = dg.join(broadcast(bg), Seq("gh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("hits")) // shingles are distinct per doc already
+    docs.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("hits"), lit(0L)).as("contaminated_ngrams"),
+        (coalesce(col("hits"), lit(0L)) > 0).cast("int").as("is_contaminated"))
+  }
+
   /** Brute-force n-gram Jaccard pairs (quadratic; the small-scale oracle for
     * minhashPairs and the DuckDB-checkable variant). */
   def jaccardPairsBrute(

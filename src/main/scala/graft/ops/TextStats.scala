@@ -88,6 +88,43 @@ object TextStats {
         .otherwise(best.getField("lang")).as("lang_guess"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    * duplicate-word fraction and the most-frequent-bigram mass — the
+    * cheap structural filters that catch boilerplate/spam documents
+    * n-gram dedup misses.
+    *
+    * Scale shape: bigram counting explodes word pairs and aggregates by
+    * (doc, bigram) then (doc) — both keys contain the doc id, so the two
+    * hash aggregations are map-side-combined and stay skew-free (a doc's
+    * bigrams are bounded by its own length caps). */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = split(trim(lower(col(textCol))), "\\s+")
+    val bigrams = when(size(words) >= 2,
+      transform(sequence(lit(0), size(words) - 2),
+        i => concat_ws(" ", slice(words, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val base = docs.select(col(idCol),
+      size(words).as("n_words"),
+      size(array_distinct(words)).as("n_distinct"),
+      bigrams.as("bg"))
+    base
+      .select(col(idCol), col("n_words"), col("n_distinct"),
+        explode_outer(col("bg")).as("g"))
+      .groupBy(col(idCol), col("n_words"), col("n_distinct"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("n_words"), col("n_distinct"))
+      .agg(
+        max(when(col("g").isNotNull, col("c"))).as("mx"),
+        sum(when(col("g").isNotNull, col("c"))).as("tot"))
+      .select(col(idCol),
+        col("n_words").cast("long").as("n_words"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 4)
+          .as("dup_word_frac"),
+        round(coalesce(col("mx").cast("double") / col("tot"), lit(0.0)), 4)
+          .as("top_bigram_frac"))
+  }
+
   /** Winnowing-style document fingerprint (Schleimer/Wilkerson/Aiken,
     * SIGMOD 2003, simplified): rolling 8-char-gram hashes, keep the
     * `k` smallest distinct — a compact sketch for containment checks. */

@@ -216,6 +216,48 @@ class OpsSpec extends AnyFunSuite {
     assert(lid.forall(r => Set("en", "de", "es", "fr", "und").contains(r.getString(2))))
   }
 
+  test("decontaminate: exact gram overlap flags, disjoint docs stay clean") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val bench = Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words then alpha beta gamma delta epsilon and tail"), // shares a 5-gram
+      (2L, "completely different words with no shared five gram runs here"),
+      (3L, "alpha beta gamma delta epsilon zeta copied verbatim")) // shares several
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminate(train, bench, ngram = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out(1L)._2 == 1 && out(1L)._1 >= 1, out(1L))
+    assert(out(2L) == ((0L, 0)), out(2L))
+    assert(out(3L)._2 == 1 && out(3L)._1 >= 2, out(3L))
+    // corpus-level: every training doc gets a row, zeros included
+    val full = Dedup.decontaminate(
+      docs.where(col("doc_id") % 50 =!= 0), docs.where(col("doc_id") % 50 === 0))
+    assert(full.count() == docs.where(col("doc_id") % 50 =!= 0).count())
+  }
+
+  test("repetition: duplicate-word and top-bigram fractions are exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = Seq(
+      (1L, "x x x x"),          // 4 words, 1 distinct; bigrams: "x x" * 3
+      (2L, "a b c d"),          // all distinct; 3 bigrams, each unique
+      (3L, "spam spam ham spam spam")) // top bigram "spam spam" = 2 of 4
+      .toDF("doc_id", "text")
+    val out = TextStats.repetition(t)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 0.75, 1.0)), out(1L))
+    assert(out(2L) == ((4L, 0.0, 0.3333)), out(2L)) // 3 bigrams, each once
+    assert(out(3L) == ((5L, 0.6, 0.5)), out(3L))
+    // deterministic over the real corpus; fractions in range
+    val full = TextStats.repetition(docs).collect()
+    assert(full.length == docs.count())
+    full.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("fingerprints: k smallest hashes, sorted CSV, stable across runs") {
     // fingerprint is a CSV string (array cols crash the driver comparer)
     val a = TextStats.fingerprint(docs).collect().map(r =>
