@@ -44,8 +44,12 @@ object SparkEntry {
     * independently re-aggregate the engine's own exported per-doc rows —
     * turning the extraction queries (x01/x04/x05/x06/x07) from rows-only
     * checks into real schema+rows+hash comparisons. Overwritten per Verify
-    * run; the path is static because oracleSql is a static map. */
-  private val ExportRoot = "/tmp/graft-verify-export"
+    * run; the path is static because oracleSql is a static map, and
+    * CORPUS-VERSIONED so a failed export can never be silently compared
+    * against a stale pre-bump run's files. (Single active driver assumed,
+    * as everywhere — see the Bench-concurrency warning in CLAUDE.md.) */
+  private val ExportRoot =
+    s"/tmp/graft-verify-export-${graft.corpus.PagesGen.CorpusVersion}"
 
   private def exportAndRead(df: DataFrame, name: String): DataFrame = {
     val path = s"$ExportRoot/$name"
@@ -625,7 +629,13 @@ object SparkEntry {
          |WHERE bit_count(xor(x.sig, y.sig)) <= 3""".stripMargin,
     // dedup clusters: connected components of the d05 near-dup graph,
     // computed in DuckDB with a recursive transitive closure + min-label —
-    // an independent implementation of the whole clusters operator
+    // an independent implementation of the whole clusters operator.
+    // Spark's edges come from LSH candidates, the oracle's from exact
+    // all-pairs Jaccard: they agree because the documents table (driver-
+    // provided, FIXED — independent of our pages CorpusVersion) plants its
+    // near-dups at j≈0.97, where the per-pair band-miss probability is
+    // (1-0.97^4)^8 ≈ 3e-8 (same argument as d05's oracle, whose equality
+    // the OpsSpec brute-force cross-check also pins)
     "d09_dedup_clusters" ->
       """WITH RECURSIVE toks AS (
         | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),

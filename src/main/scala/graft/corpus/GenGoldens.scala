@@ -34,9 +34,13 @@ object GenGoldens {
       .groupBy(_.url)
       .map { case (_, rows) =>
         rows.maxBy { p =>
+          // null html hashes as the empty payload, matching the pipeline's
+          // tieHash normalization (the corpus never emits nulls, but the
+          // oracle must mirror the pipeline exactly either way)
+          val h0 = if (p.html == null) Array.emptyByteArray else p.html
           val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-            p.html, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-            p.html.length, 42L)
+            h0, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            h0.length, 42L)
           (p.warc_ts.getTime, h)
         }
       }

@@ -18,6 +18,12 @@ object CfbReader {
 
   private val MaxSectors = 1 << 16 // 32 MB of 512 B sectors
   private val MaxStreamBytes = 32 << 20
+  /** WHOLE-FILE extraction budget: a crafted directory can declare
+    * thousands of large streams whose chains alias the same (or cyclic)
+    * sectors — per-stream caps alone would still let a kilobyte input
+    * expand to gigabytes of output (invariant 4: bad input must become a
+    * status row, never an executor OOM). */
+  private val MaxTotalBytes = 64 << 20
   private val EndOfChain = 0xfffffffeL
 
   /** Stream names only (directory walk, no data reads) — the cheap probe
@@ -79,9 +85,11 @@ object CfbReader {
         k += 1
       }
 
+      var budget = MaxTotalBytes.toLong // shared across ALL stream reads
+
       /** Follow a FAT chain from `start`, reading up to `size` bytes. */
       def readChain(start: Long, size: Long): Array[Byte] = {
-        val cap = math.min(size, MaxStreamBytes).toInt
+        val cap = math.min(math.min(size, MaxStreamBytes), budget).toInt
         if (cap <= 0) return Array.emptyByteArray
         val out = new Array[Byte](cap)
         var sect = start
@@ -96,6 +104,7 @@ object CfbReader {
           sect = if (sect < fat.length) fat(sect.toInt) else EndOfChain
           steps += 1
         }
+        budget -= written
         if (written == cap) out else java.util.Arrays.copyOf(out, written)
       }
 
@@ -134,7 +143,7 @@ object CfbReader {
           ((miniFat(o + 2) & 0xffL) << 16) | ((miniFat(o + 3) & 0xffL) << 24)
       }
       def readMiniChain(start: Long, size: Long): Array[Byte] = {
-        val cap = math.min(size, MaxStreamBytes).toInt
+        val cap = math.min(math.min(size, MaxStreamBytes), budget).toInt
         if (cap <= 0) return Array.emptyByteArray
         val out = new Array[Byte](cap)
         var sect = start
@@ -149,6 +158,7 @@ object CfbReader {
           sect = miniFatEntry(sect.toInt)
           steps += 1
         }
+        budget -= written
         if (written == cap) out else java.util.Arrays.copyOf(out, written)
       }
 

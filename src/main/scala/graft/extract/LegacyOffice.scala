@@ -92,10 +92,15 @@ object LegacyOffice {
       val n = ((lcb - 4) / 12).toInt // pieces
       if (n <= 0 || n > (1 << 16)) return OoxmlFailure("piece count out of range")
 
-      val sb = new java.lang.StringBuilder(math.min(ccpText, 4L << 20).toInt)
+      // HARD output cap: ccpText and the piece CP ranges are input-
+      // controlled and pieces may alias the same bytes — without the cap a
+      // small crafted file could grow the builder without bound (OOM on
+      // bad input = invariant-4 violation, not a status row)
+      val maxChars = math.min(ccpText, 4L << 20).toInt
+      val sb = new java.lang.StringBuilder(math.min(maxChars, 1 << 16))
       var p = 0
       var cpDone = 0L
-      while (p < n && cpDone < ccpText) {
+      while (p < n && cpDone < ccpText && sb.length < maxChars) {
         val cpStart = tu32(plc + p * 4)
         val cpNext = tu32(plc + (p + 1) * 4)
         val pcd = plc + (n + 1) * 4 + p * 8
@@ -103,7 +108,8 @@ object LegacyOffice {
         val compressed = (fcRaw & 0x40000000L) != 0
         val fcBase = fcRaw & 0x3fffffffL
         val fc = if (compressed) fcBase / 2 else fcBase
-        val chars = math.min(cpNext, ccpText) - cpStart
+        val chars = math.min(math.min(cpNext, ccpText) - cpStart,
+          (maxChars - sb.length).toLong)
         if (chars > 0 && fc >= 0) {
           val byteLen = chars * (if (compressed) 1 else 2)
           if (fc + byteLen <= word.length) {
@@ -178,12 +184,18 @@ object LegacyOffice {
               val cRun = if (rich) { val v = u16(ho); ho += 2; v } else 0
               val cbExt = if (ext) { val v = u32(ho); ho += 4; v } else 0L
               val charBytes = cch * (if (wide) 2 else 1)
-              if (ho + charBytes > body + len) { k = cstUnique } // Continue split: stop
-              else {
+              // forward-progress guard: cstUnique and cbExt are raw input
+              // fields — a zero-advance entry (e.g. cch=0 with a wrapped
+              // cbExt) must stop the loop, not spin it cstUnique times
+              val next = ho.toLong + charBytes + cRun.toLong * 4 + cbExt
+              if (ho + charBytes > body + len || next <= o ||
+                  next > (body + len).toLong) {
+                k = cstUnique // Continue split / malformed entry: stop
+              } else {
                 cells += (if (wide)
                   new String(wb, ho, charBytes, StandardCharsets.UTF_16LE)
                 else new String(wb, ho, charBytes, Cp1252))
-                o = ho + charBytes + cRun * 4 + cbExt.toInt
+                o = next.toInt
                 k += 1
               }
             }

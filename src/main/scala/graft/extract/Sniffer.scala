@@ -159,7 +159,13 @@ object Sniffer {
     * directory walk (CfbReader — exact, immune to look-alike bytes in
     * stream content). Fallback for containers too mangled to walk: a
     * bounded UTF-16LE byte scan over the payload, so a truncated .doc
-    * still surfaces typed rather than Unknown/Corrupted. */
+    * still surfaces typed rather than Unknown/Corrupted.
+    *
+    * Known cost: a legacy Office doc walks the container here AND again in
+    * LegacyOffice's extraction (2x FAT+directory parse). Accepted: the
+    * walk is header-bounded and tiny next to the text work, and threading
+    * parsed state through the sniff->dispatch seam would couple every
+    * format's detection to its extractor. */
   private def sniffCfb(b: Array[Byte]): String = {
     val names = CfbReader.streamNames(b)
     def classify(has: String => Boolean): String =

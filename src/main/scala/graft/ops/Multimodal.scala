@@ -109,20 +109,22 @@ object Multimodal {
   def tiffDims(b: Array[Byte]): (Int, Int) = {
     if (b.length < 8) return (-1, -1)
     val le = b(0) == 'I'
-    def u16(o: Int): Int = if (o < 0 || o + 2 > b.length) -1
+    // bounds in SUBTRACTION form: `o + 2 > length` wraps negative for a
+    // crafted IFD offset near Int.MaxValue and would pass the guard
+    def u16(o: Int): Int = if (o < 0 || o > b.length - 2) -1
       else if (le) le16(b, o) else be16(b, o)
-    def u32(o: Int): Int = if (o < 0 || o + 4 > b.length) -1
+    def u32(o: Int): Int = if (o < 0 || o > b.length - 4) -1
       else if (le) le32(b, o) else beInt(b, o)
     val ifd = u32(4)
-    if (ifd < 0 || ifd + 2 > b.length) return (-1, -1)
+    if (ifd < 0 || ifd > b.length - 2) return (-1, -1)
     val n = u16(ifd)
     if (n < 0) return (-1, -1)
     var w = -1
     var h = -1
     var i = 0
     while (i < n && i < 256) {
-      val e = ifd + 2 + i * 12
-      if (e + 12 > b.length) return (w, h)
+      val e = ifd + 2 + i * 12 // ifd <= length, i <= 256: no overflow
+      if (e > b.length - 12) return (w, h)
       val tag = u16(e)
       val typ = u16(e + 2)
       val v = if (typ == 3) u16(e + 8) else u32(e + 8)

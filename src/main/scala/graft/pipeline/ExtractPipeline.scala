@@ -92,17 +92,24 @@ object ExtractPipeline {
     * [[run]] (same winners, one shuffle, narrow rows). */
   def dedupLatest(pages: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("url"))
-      .orderBy(col("warc_ts").desc, xxhash64(col("html")).desc)
+      .orderBy(col("warc_ts").desc, tieHash(col("html")).desc)
     pages.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn")
   }
 
+  /** Dedup tie-break hash. NULL html hashes as the EMPTY payload — the
+    * same normalization the extract stages apply — so the shuffle,
+    * window, and colocated paths all pick the same winner for a
+    * same-timestamp (null, non-null) duplicate pair (invariant 1). */
+  private def tieHash(html: org.apache.spark.sql.Column) =
+    xxhash64(coalesce(html, lit(Array.emptyByteArray)))
+
   /** Fused dedup + placement on narrow rows: (url, warc_ts, html) ->
     * (url, html), hash-partitioned by url. Winner ordering matches
-    * [[dedupLatest]]: (warc_ts, xxhash64(html)) descending. */
+    * [[dedupLatest]]: (warc_ts, tieHash(html)) descending. */
   private def dedupNarrow(narrow: DataFrame): DataFrame =
     narrow.groupBy(col("url"))
-      .agg(max_by(col("html"), struct(col("warc_ts"), xxhash64(col("html")))).as("html"))
+      .agg(max_by(col("html"), struct(col("warc_ts"), tieHash(col("html")))).as("html"))
 
   /** The typed map stage. Never throws; bad rows become status rows. */
   def extractStage(docs: Dataset[RawDoc], cfg: Config): Dataset[ExtractedRow] = {

@@ -75,16 +75,27 @@ object WarcReader {
   private val WarcMagic = "WARC/".getBytes(StandardCharsets.US_ASCII)
 
   /** Scan forward to the next `\r\n\r\nWARC/` boundary; push the `WARC/`
-    * back so the next header read starts clean. False at end of stream. */
+    * back so the next header read starts clean. False at end of stream.
+    * Matching uses a rolling last-9-bytes window (not a restart-on-
+    * mismatch state machine, whose naive restart loses self-overlapping
+    * prefixes — e.g. an extra CRLF before the boundary would skip a
+    * recoverable record). */
   private def resync(in: PushbackInputStream): Boolean = {
     val pat = "\r\n\r\nWARC/".getBytes(StandardCharsets.US_ASCII)
-    var m = 0
+    val ring = new Array[Int](pat.length)
+    var filled = 0
+    var idx = 0
     var b = in.read()
     while (b >= 0) {
-      if (b == pat(m)) {
-        m += 1
-        if (m == pat.length) { in.unread(WarcMagic); return true }
-      } else m = if (b == pat(0)) 1 else 0
+      ring(idx) = b
+      idx = (idx + 1) % pat.length
+      if (filled < pat.length) filled += 1
+      if (filled == pat.length) {
+        var k = 0
+        while (k < pat.length && ring((idx + k) % pat.length) == (pat(k) & 0xff))
+          k += 1
+        if (k == pat.length) { in.unread(WarcMagic); return true }
+      }
       b = in.read()
     }
     false

@@ -335,6 +335,26 @@ class ExtractorSpec extends AnyFunSuite {
       slides.flatten.mkString("\n"))
   }
 
+  test("adversarial xls: zero-advance SST entry terminates immediately") {
+    // SST claiming 2^32-1 strings whose first entry advances the cursor by
+    // ZERO bytes (cch=0, fExtSt with a wrapping cbExt): the parser must
+    // stop on the forward-progress guard, not spin billions of iterations
+    val body = new java.io.ByteArrayOutputStream()
+    def le16(v: Int) = { body.write(v & 0xff); body.write((v >>> 8) & 0xff) }
+    def le32(v: Long) = { (0 until 4).foreach(i => body.write(((v >>> (8 * i)) & 0xff).toInt)) }
+    le16(0x0809); le16(16); (0 until 16).foreach(_ => body.write(0)) // BOF
+    le16(0x00fc); le16(8 + 3 + 4) // SST record
+    le32(0xffffffffL); le32(0xffffffffL) // cstTotal, cstUnique
+    le16(0); body.write(0x04) // cch=0, fExtSt
+    le32(0xfffffff9L) // cbExt wraps negative as Int
+    le16(0x000a); le16(0) // EOF
+    val payload = graft.corpus.LegacyGen.cfb("Workbook", body.toByteArray)
+    val t0 = System.nanoTime()
+    val e = Extractor.extract("u", payload)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(e.status != null && sec < 5.0, s"took $sec s, status=${e.status}")
+  }
+
   test("unknown compound files stay typed; OLE2 truncations never throw") {
     import graft.corpus.LegacyGen
     val junk = Array.tabulate[Byte](900)(i => (i * 31).toByte)

@@ -50,6 +50,9 @@ class MultimodalSpec extends AnyFunSuite {
     // IFD offset pointing out of bounds / negative: safe
     assert(Multimodal.tiffDims(Array[Byte]('I', 'I', 0x2a, 0,
       -1, -1, -1, -1)) == ((-1, -1)))
+    // IFD offset near Int.MaxValue: the bounds check must not overflow
+    assert(Multimodal.tiffDims(Array[Byte]('I', 'I', 0x2a, 0,
+      -2, -1, -1, 0x7f)) == ((-1, -1)))
     assert(Multimodal.webpDims("RIFF0000WEBPVP8 ".getBytes ++
       new Array[Byte](16)) == ((-1, -1)))
   }
