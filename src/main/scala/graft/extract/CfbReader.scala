@@ -87,25 +87,34 @@ object CfbReader {
 
       var budget = MaxTotalBytes.toLong // shared across ALL stream reads
 
-      /** Follow a FAT chain from `start`, reading up to `size` bytes. */
+      /** Follow a FAT chain from `start`, reading up to `size` bytes.
+        * The buffer GROWS with the actual chain — `size` is an input-
+        * controlled claim (and the directory/miniFAT reads pass the max),
+        * so pre-allocating it would zero-fill up to 32 MB per call: that
+        * alone made legacy-Office extraction ~25 ms/doc before this. */
       def readChain(start: Long, size: Long): Array[Byte] = {
         val cap = math.min(math.min(size, MaxStreamBytes), budget).toInt
         if (cap <= 0) return Array.emptyByteArray
-        val out = new Array[Byte](cap)
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(cap, 4 * sectorSize))
         var sect = start
         var written = 0
         var steps = 0
-        while (sect < 0xfffffffcL && written < cap && steps < MaxSectors) {
+        var truncated = false
+        while (!truncated && sect < 0xfffffffcL && written < cap &&
+            steps < MaxSectors) {
           val off = sectorOff(sect)
           val n = math.min(sectorSize.toLong, (cap - written).toLong).toInt
-          if (off + n > b.length) return java.util.Arrays.copyOf(out, written)
-          System.arraycopy(b, off.toInt, out, written, n)
-          written += n
-          sect = if (sect < fat.length) fat(sect.toInt) else EndOfChain
-          steps += 1
+          if (off + n > b.length) truncated = true
+          else {
+            out.write(b, off.toInt, n)
+            written += n
+            sect = if (sect < fat.length) fat(sect.toInt) else EndOfChain
+            steps += 1
+          }
         }
         budget -= written
-        if (written == cap) out else java.util.Arrays.copyOf(out, written)
+        out.toByteArray
       }
 
       // ---- directory entries
@@ -145,21 +154,25 @@ object CfbReader {
       def readMiniChain(start: Long, size: Long): Array[Byte] = {
         val cap = math.min(math.min(size, MaxStreamBytes), budget).toInt
         if (cap <= 0) return Array.emptyByteArray
-        val out = new Array[Byte](cap)
+        val out = new java.io.ByteArrayOutputStream(math.min(cap, 4096))
         var sect = start
         var written = 0
         var steps = 0
-        while (sect < 0xfffffffcL && written < cap && steps < MaxSectors) {
+        var truncated = false
+        while (!truncated && sect < 0xfffffffcL && written < cap &&
+            steps < MaxSectors) {
           val off = sect * 64
           val n = math.min(64L, (cap - written).toLong).toInt
-          if (off + n > miniStream.length) return java.util.Arrays.copyOf(out, written)
-          System.arraycopy(miniStream, off.toInt, out, written, n)
-          written += n
-          sect = miniFatEntry(sect.toInt)
-          steps += 1
+          if (off + n > miniStream.length) truncated = true
+          else {
+            out.write(miniStream, off.toInt, n)
+            written += n
+            sect = miniFatEntry(sect.toInt)
+            steps += 1
+          }
         }
         budget -= written
-        if (written == cap) out else java.util.Arrays.copyOf(out, written)
+        out.toByteArray
       }
 
       entries.iterator

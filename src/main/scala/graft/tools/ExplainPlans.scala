@@ -32,6 +32,11 @@ object ExplainPlans {
     val pages = CorpusWriter.pagesDs(s, 100, 2)
     p("extract_full", graft.pipeline.ExtractPipeline.run(pages).toDF())
     p("d05_minhash", graft.SparkEntry.queries("d05_minhash_pairs")(s, d))
+    // d10: the benchmark gram side must BROADCAST (no corpus shuffle)
+    val docs = s.read.parquet(s"$d/documents.parquet")
+    p("d10_decontaminate", graft.ops.Dedup.decontaminate(
+      docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0)))
+    p("d11_repetition", graft.ops.TextStats.repetition(docs))
     s.stop()
   }
 }
