@@ -93,10 +93,11 @@ object TextStats {
     * cheap structural filters that catch boilerplate/spam documents
     * n-gram dedup misses.
     *
-    * Scale shape: bigram counting explodes word pairs and aggregates by
-    * (doc, bigram) then (doc) — both keys contain the doc id, so the two
-    * hash aggregations are map-side-combined and stay skew-free (a doc's
-    * bigrams are bounded by its own length caps). */
+    * Scale shape: a ZERO-SHUFFLE narrow map. The max bigram multiplicity
+    * is the longest equal-run of the per-row SORTED bigram array, computed
+    * with an `aggregate` fold — no explode, so corpus-token-count rows
+    * never enter an exchange (the first cut exploded bigrams through two
+    * aggregations; correct, but it shuffled every bigram of every doc). */
   def repetition(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val words = split(trim(lower(col(textCol))), "\\s+")
@@ -104,25 +105,26 @@ object TextStats {
       transform(sequence(lit(0), size(words) - 2),
         i => concat_ws(" ", slice(words, i + 1, lit(2)))))
       .otherwise(array().cast("array<string>"))
-    val base = docs.select(col(idCol),
-      size(words).as("n_words"),
-      size(array_distinct(words)).as("n_distinct"),
-      bigrams.as("bg"))
-    base
-      .select(col(idCol), col("n_words"), col("n_distinct"),
-        explode_outer(col("bg")).as("g"))
-      .groupBy(col(idCol), col("n_words"), col("n_distinct"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol), col("n_words"), col("n_distinct"))
-      .agg(
-        max(when(col("g").isNotNull, col("c"))).as("mx"),
-        sum(when(col("g").isNotNull, col("c"))).as("tot"))
-      .select(col(idCol),
-        col("n_words").cast("long").as("n_words"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 4)
-          .as("dup_word_frac"),
-        round(coalesce(col("mx").cast("double") / col("tot"), lit(0.0)), 4)
-          .as("top_bigram_frac"))
+    val sorted = array_sort(bigrams)
+    // longest run in the sorted array == max multiplicity of any bigram
+    val folded = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      })
+    docs.select(col(idCol),
+      size(words).cast("long").as("n_words"),
+      round(lit(1.0) -
+        size(array_distinct(words)).cast("double") / size(words), 4)
+        .as("dup_word_frac"),
+      // explicit zero for bigram-less docs: 0.0/0 is NaN, not null
+      when(size(sorted) === 0, lit(0.0))
+        .otherwise(round(
+          folded.getField("best").cast("double") / size(sorted), 4))
+        .as("top_bigram_frac"))
   }
 
   /** Winnowing-style document fingerprint (Schleimer/Wilkerson/Aiken,
