@@ -93,12 +93,22 @@ object TextStats {
     * cheap structural filters that catch boilerplate/spam documents
     * n-gram dedup misses.
     *
-    * Scale shape: a ZERO-SHUFFLE narrow map. The max bigram multiplicity
-    * is the longest equal-run of the per-row SORTED bigram array, computed
-    * with an `aggregate` fold — no explode, so corpus-token-count rows
-    * never enter an exchange (the first cut exploded bigrams through two
-    * aggregations; correct, but it shuffled every bigram of every doc). */
+    * Scale shape: a ZERO-SHUFFLE narrow map backed by the native one-pass
+    * [[org.apache.spark.sql.graftexpr.RepetitionStats]] expression — no
+    * explode, so corpus-token-count rows never enter an exchange, and no
+    * interpreted HOF fold either (the sort+aggregate formulation, kept
+    * below as the cross-check twin, made d11 the slowest headline query). */
   def repetition(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val st = org.apache.spark.sql.graftexpr.GraftExpr
+      .repetition_stats(col(textCol))
+    repetitionFromStats(docs, idCol, st)
+  }
+
+  /** Reference HOF formulation of [[repetition]]'s statistics, kept for
+    * cross-checking the native expression in tests: the max bigram
+    * multiplicity is the longest equal-run of the SORTED bigram array. */
+  private[graft] def repetitionHof(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val words = split(trim(lower(col(textCol))), "\\s+")
     val bigrams = when(size(words) >= 2,
@@ -106,7 +116,6 @@ object TextStats {
         i => concat_ws(" ", slice(words, i + 1, lit(2)))))
       .otherwise(array().cast("array<string>"))
     val sorted = array_sort(bigrams)
-    // longest run in the sorted array == max multiplicity of any bigram
     val folded = aggregate(sorted,
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => {
@@ -115,17 +124,25 @@ object TextStats {
         struct(x.as("prev"), run.as("run"),
           greatest(acc.getField("best"), run).as("best"))
       })
+    val st = array(size(words).cast("long"),
+      size(array_distinct(words)).cast("long"),
+      folded.getField("best"), size(sorted).cast("long"))
+    repetitionFromStats(docs, idCol, st)
+  }
+
+  /** Shared projection from [n_words, n_distinct, max_bigram, n_bigrams]. */
+  private def repetitionFromStats(docs: DataFrame, idCol: String,
+      st: Column): DataFrame =
     docs.select(col(idCol),
-      size(words).cast("long").as("n_words"),
+      element_at(st, 1).as("n_words"),
       round(lit(1.0) -
-        size(array_distinct(words)).cast("double") / size(words), 4)
+        element_at(st, 2).cast("double") / element_at(st, 1), 4)
         .as("dup_word_frac"),
       // explicit zero for bigram-less docs: 0.0/0 is NaN, not null
-      when(size(sorted) === 0, lit(0.0))
+      when(element_at(st, 4) === 0, lit(0.0))
         .otherwise(round(
-          folded.getField("best").cast("double") / size(sorted), 4))
+          element_at(st, 3).cast("double") / element_at(st, 4), 4))
         .as("top_bigram_frac"))
-  }
 
   /** Winnowing-style document fingerprint (Schleimer/Wilkerson/Aiken,
     * SIGMOD 2003, simplified): rolling 8-char-gram hashes, keep the

@@ -40,6 +40,11 @@ object GraftExpr {
     ExpressionUtils.column(
       CosineSim(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Repetition statistics of a string column:
+    * [n_words, n_distinct_words, max_bigram_count, n_bigrams]. */
+  def repetition_stats(c: Column): Column =
+    ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c)))
+
   /** Register SQL-callable names on a session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -315,6 +320,61 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
+}
+
+/** Repetition statistics (the Gopher-filter inputs) of a string in ONE
+  * pass: word count, distinct-word count, the maximum multiplicity of any
+  * word bigram, and the bigram count — as [n_words, n_distinct,
+  * max_bigram_count, n_bigrams]. Tokenization replicates the HOF/oracle
+  * formulation `split(trim(lower(text)), "\\s+")` exactly (UTF8String
+  * lower/trim semantics, Java \s+), like [[WordShingles]].
+  *
+  * Replaces a sort+fold HOF pipeline whose interpreted per-element struct
+  * allocation made d11 the slowest headline query (8.7 s at sf0.1); the
+  * tight HashMap loop is the same d05 lesson (MinHashSig) applied again. */
+case class RepetitionStats(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStats.of(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftexpr.RepetitionStats.of($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  def of(u: UTF8String): ArrayData = {
+    val s = u.toLowerCase.trim.toString // UTF8String lower/trim semantics
+    val words = s.split("\\s+", -1)
+    val nWords = words.length.toLong
+    val distinct = new java.util.HashSet[String](words.length * 2)
+    var i = 0
+    while (i < words.length) { distinct.add(words(i)); i += 1 }
+    var maxBigram = 0L
+    val nBigrams = math.max(words.length - 1, 0).toLong
+    if (words.length >= 2) {
+      val counts = new java.util.HashMap[String, Integer](words.length * 2)
+      i = 0
+      while (i < words.length - 1) {
+        val bg = words(i) + " " + words(i + 1)
+        val prev = counts.get(bg)
+        val c = if (prev == null) 1 else prev.intValue() + 1
+        counts.put(bg, Integer.valueOf(c))
+        if (c > maxBigram) maxBigram = c.toLong
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Long](nWords, distinct.size.toLong, maxBigram, nBigrams))
+  }
 }
 
 object CosineSim {

@@ -258,6 +258,18 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native RepetitionStats matches the HOF fold formulation exactly") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(key(TextStats.repetition(docs)) == key(TextStats.repetitionHof(docs)))
+    // adversarial shapes: empty-ish, single word, all-same, unicode ws
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = Seq((1L, "solo"), (2L, "x"), (3L, "a a a a a a"),
+      (4L, "  padded   with\tspaces  "), (5L, "ü Ü ü")).toDF("doc_id", "text")
+    assert(key(TextStats.repetition(t)) == key(TextStats.repetitionHof(t)))
+  }
+
   test("fingerprints: k smallest hashes, sorted CSV, stable across runs") {
     // fingerprint is a CSV string (array cols crash the driver comparer)
     val a = TextStats.fingerprint(docs).collect().map(r =>
