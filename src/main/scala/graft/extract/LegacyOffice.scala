@@ -188,15 +188,17 @@ object LegacyOffice {
               // fields — a zero-advance entry (e.g. cch=0 with a wrapped
               // cbExt) must stop the loop, not spin it cstUnique times
               val next = ho.toLong + charBytes + cRun.toLong * 4 + cbExt
-              if (ho + charBytes > body + len || next <= o ||
-                  next > (body + len).toLong) {
+              if (ho + charBytes > body + len || next <= o) {
                 k = cstUnique // Continue split / malformed entry: stop
               } else {
                 cells += (if (wide)
                   new String(wb, ho, charBytes, StandardCharsets.UTF_16LE)
                 else new String(wb, ho, charBytes, Cp1252))
-                o = next.toInt
-                k += 1
+                // a rich/ext TAIL that continues into the next (Continue)
+                // record still stops the walk, but AFTER keeping the
+                // fully-in-record string text
+                if (next > (body + len).toLong) k = cstUnique
+                else { o = next.toInt; k += 1 }
               }
             }
           }

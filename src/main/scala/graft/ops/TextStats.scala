@@ -138,10 +138,14 @@ object TextStats {
       round(lit(1.0) -
         element_at(st, 2).cast("double") / element_at(st, 1), 4)
         .as("dup_word_frac"),
-      // explicit zero for bigram-less docs: 0.0/0 is NaN, not null
-      when(element_at(st, 4) === 0, lit(0.0))
-        .otherwise(round(
-          element_at(st, 3).cast("double") / element_at(st, 4), 4))
+      // explicit zero for bigram-less docs: 0.0/0 is NaN, not null; the
+      // outer coalesce covers NULL text (st itself null) — the oracle's
+      // CASE/COALESCE formulation yields 0.0 there, not NULL
+      coalesce(
+        when(element_at(st, 4) === 0, lit(0.0))
+          .otherwise(round(
+            element_at(st, 3).cast("double") / element_at(st, 4), 4)),
+        lit(0.0))
         .as("top_bigram_frac"))
 
   /** Winnowing-style document fingerprint (Schleimer/Wilkerson/Aiken,

@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 object GraftExpr {
+  /** Compiled \s+ — String.split("\\s+") re-compiles the Pattern on every
+    * call (the one-char fast path doesn't apply), a real per-row cost in
+    * the WordShingles/RepetitionStats hot loops. Semantics identical:
+    * String.split delegates to Pattern.split. */
+  private[graftexpr] val Ws = java.util.regex.Pattern.compile("\\s+")
+
   /** 64-bit SimHash of a string column (Charikar 2002). */
   def simhash64(c: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
@@ -212,7 +218,7 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression
 
   def evalStr(u: UTF8String): ArrayData = {
     val s = u.toLowerCase.trim.toString // UTF8String lower/trim semantics
-    val words = s.split("\\s+", -1)
+    val words = GraftExpr.Ws.split(s, -1) // hoisted Pattern: no per-row compile
     val count = math.max(words.length - n, 0) + 1
     val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
     var i = 0
@@ -353,7 +359,7 @@ case class RepetitionStats(child: Expression) extends UnaryExpression
 object RepetitionStats {
   def of(u: UTF8String): ArrayData = {
     val s = u.toLowerCase.trim.toString // UTF8String lower/trim semantics
-    val words = s.split("\\s+", -1)
+    val words = GraftExpr.Ws.split(s, -1) // hoisted Pattern: no per-row compile
     val nWords = words.length.toLong
     val distinct = new java.util.HashSet[String](words.length * 2)
     var i = 0

@@ -353,6 +353,24 @@ class ExtractorSpec extends AnyFunSuite {
     val e = Extractor.extract("u", payload)
     val sec = (System.nanoTime() - t0) / 1e9
     assert(e.status != null && sec < 5.0, s"took $sec s, status=${e.status}")
+
+    // a FINAL rich entry whose run data continues past the record end (the
+    // Continue-record layout): its in-record text must be KEPT, then stop
+    val b2 = new java.io.ByteArrayOutputStream()
+    def l16(v: Int) = { b2.write(v & 0xff); b2.write((v >>> 8) & 0xff) }
+    def l32(v: Long) = { (0 until 4).foreach(i => b2.write(((v >>> (8 * i)) & 0xff).toInt)) }
+    l16(0x0809); l16(16); (0 until 16).foreach(_ => b2.write(0)) // BOF
+    val text = "kept"
+    l16(0x00fc); l16(8 + 3 + 2 + text.length) // SST record
+    l32(2L); l32(2L) // claims 2 strings; only a partial rich one fits
+    l16(text.length); b2.write(0x08) // cch=4, fRichSt
+    l16(500) // cRun: 500 runs x 4 B continue past the record end
+    text.foreach(c => b2.write(c.toInt))
+    l16(0x000a); l16(0) // EOF
+    val e2 = Extractor.extract("u",
+      graft.corpus.LegacyGen.cfb("Workbook", b2.toByteArray))
+    assert(e2.status == "finished", s"msg=${e2.message}")
+    assert(new String(e2.text, StandardCharsets.UTF_8) == "kept")
   }
 
   test("unknown compound files stay typed; OLE2 truncations never throw") {

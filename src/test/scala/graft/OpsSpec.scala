@@ -268,6 +268,15 @@ class OpsSpec extends AnyFunSuite {
     val t = Seq((1L, "solo"), (2L, "x"), (3L, "a a a a a a"),
       (4L, "  padded   with\tspaces  "), (5L, "ü Ü ü")).toDF("doc_id", "text")
     assert(key(TextStats.repetition(t)) == key(TextStats.repetitionHof(t)))
+    // NULL text: top_bigram_frac must be 0.0 (the oracle's COALESCE), not
+    // NULL, and n_words/dup_word_frac stay NULL — on BOTH formulations
+    val withNull = Seq((6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    Seq(TextStats.repetition(withNull), TextStats.repetitionHof(withNull))
+      .foreach { df =>
+        val r = df.collect().head
+        assert(r.isNullAt(1) && r.isNullAt(2), r)
+        assert(!r.isNullAt(3) && r.getDouble(3) == 0.0, r)
+      }
   }
 
   test("fingerprints: k smallest hashes, sorted CSV, stable across runs") {
