@@ -146,6 +146,48 @@ object Multimodal {
     } else (-1, -1)
   }
 
+  /** Real header parse: HEIF/HEIC — ISO-BMFF box walk to the image
+    * spatial-extents property: meta (FullBox) -> iprp -> ipco -> ispe
+    * (FullBox: width u32, height u32). Bounded depth/steps; any malformed
+    * size yields (-1,-1). */
+  def heifDims(b: Array[Byte]): (Int, Int) = {
+    def u32(o: Int): Long =
+      if (o < 0 || o > b.length - 4) -1L
+      else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    // containers to descend into; meta/ispe are FullBoxes (4 extra bytes)
+    val containers = Set("meta", "iprp", "ipco")
+    def walk(from: Int, to: Int, depth: Int): (Int, Int) = {
+      var i = from
+      var steps = 0
+      while (i >= 0 && i + 8 <= to && steps < 256) {
+        steps += 1
+        val size = u32(i)
+        val typ = new java.lang.String(b, i + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        // size 0 = to end of enclosing box; size 1 (64-bit largesize) and
+        // other sub-header sizes are treated as malformed
+        val end = if (size == 0) to.toLong else i + size
+        if (size != 0 && (size < 8 || end > to)) return (-1, -1)
+        if (typ == "ispe") {
+          val w = u32(i + 12) // past header + FullBox version/flags
+          val h = u32(i + 16)
+          if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+            return (w.toInt, h.toInt)
+          return (-1, -1)
+        }
+        if (containers.contains(typ) && depth < 8) {
+          val bodyOff = if (typ == "meta") i + 12 else i + 8 // FullBox skip
+          val r = walk(bodyOff, end.toInt, depth + 1)
+          if (r != ((-1, -1))) return r
+        }
+        i = end.toInt
+      }
+      (-1, -1)
+    }
+    walk(0, b.length, 0)
+  }
+
   /** Real header parse: WAV fmt chunk — (sampleRate, channels); the fmt
     * chunk is at offset 12 in canonical RIFF/WAVE files (walks chunks). */
   def wavMeta(b: Array[Byte]): (Int, Int) = {
@@ -196,6 +238,7 @@ object Multimodal {
             case "image/jpeg" => jpegDims(b)
             case "image/tiff" => tiffDims(b)
             case "image/webp" => webpDims(b)
+            case "image/heic" | "image/heif" => heifDims(b)
             case _ => (-1, -1)
           }
           val (rate, ch) = if (mime == "audio/wav") wavMeta(b) else (-1, -1)

@@ -57,6 +57,24 @@ class MultimodalSpec extends AnyFunSuite {
       new Array[Byte](16)) == ((-1, -1)))
   }
 
+  test("heif dims: box walk to meta/iprp/ipco/ispe; malformed sizes safe") {
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ typ.getBytes ++ payload
+    val ispe = box("ispe", be32(0) ++ be32(640) ++ be32(480)) // v/flags, w, h
+    val meta = box("meta", be32(0) ++ box("iprp", box("ipco", ispe)))
+    val ftyp = box("ftyp", "heicmif1".getBytes)
+    val heic = ftyp ++ meta
+    assert(graft.extract.Sniffer.sniff(heic) == "image/heic")
+    assert(Multimodal.heifDims(heic) == ((640, 480)))
+    // malformed: truncated, zero-size inner loop, size beyond bounds
+    assert(Multimodal.heifDims(java.util.Arrays.copyOf(heic, 20)) == ((-1, -1)))
+    val bad = heic.clone(); be32(3).copyToArray(bad, ftyp.length) // meta size 3
+    assert(Multimodal.heifDims(bad) == ((-1, -1)))
+    assert(Multimodal.heifDims(Array.emptyByteArray) == ((-1, -1)))
+  }
+
   test("stub decode: deterministic features, fixed dim, video frame samples") {
     val spark = TestSpark.spark
     val pages = CorpusWriter.pagesDs(spark, 500L, partitions = 4)
