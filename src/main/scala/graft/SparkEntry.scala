@@ -51,11 +51,18 @@ object SparkEntry {
   private val ExportRoot =
     s"/tmp/graft-verify-export-${graft.corpus.PagesGen.CorpusVersion}"
 
-  private def exportAndRead(df: DataFrame, name: String): DataFrame = {
-    val path = s"$ExportRoot/$name"
-    df.write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
-  }
+  /** Export property set ONLY by graft.Verify: Bench runs the same queries
+    * as pure operators — without the gate it would time oracle-export I/O
+    * and write the shared export path outside the Verify run (ADVICE r3). */
+  private[graft] val ExportProp = "graft.verify.export"
+
+  private def exportAndRead(df: DataFrame, name: String): DataFrame =
+    if (!sys.props.get(ExportProp).contains("1")) df // gate off: identical data, no I/O
+    else {
+      val path = s"$ExportRoot/$name"
+      df.write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
+    }
 
   /** Synthetic pages corpus sized to the scale factor; cached per size. */
   private def pages(spark: SparkSession, dir: String): DataFrame = {

@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // enable the per-doc oracle exports (Verify-only; Bench leaves this
+    // unset so headline timings measure the pure operators)
+    System.setProperty(SparkEntry.ExportProp, "1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -88,7 +88,9 @@ object LegacyOffice {
       if (i >= end || table(i) != 2) return OoxmlFailure("no Pcdt in Clx")
       val lcb = tu32(i + 1)
       val plc = i + 5
-      if (lcb < 16 || plc + lcb > end + 1) return OoxmlFailure("Pcdt out of bounds")
+      // the whole PlcPcd [plc, plc+lcb) must lie inside the declared Clx
+      // range (an off-by-one here let a crafted lcb read at table.length)
+      if (lcb < 16 || plc + lcb > end) return OoxmlFailure("Pcdt out of bounds")
       val n = ((lcb - 4) / 12).toInt // pieces
       if (n <= 0 || n > (1 << 16)) return OoxmlFailure("piece count out of range")
 

@@ -50,7 +50,11 @@ object RtfParser {
       var i = 0
       var depth = 0
       var skipDepth = Int.MaxValue // skipping while depth >= skipDepth
+      // \ucN is GROUP-SCOPED per the RTF spec (a {\uc0 ...} group must not
+      // leak its skip count past its closing brace): push on '{', pop on '}'
       var ucSkip = 1
+      var ucStack = new Array[Int](32)
+      var ucTop = 0
       var pendingUcSkip = 0
 
       def skipping: Boolean = depth >= skipDepth
@@ -60,9 +64,17 @@ object RtfParser {
 
       while (i < len && depth >= 0) {
         val c = s.charAt(i)
-        if (c == '{') { depth += 1; i += 1 }
+        if (c == '{') {
+          depth += 1
+          if (ucTop == ucStack.length)
+            ucStack = java.util.Arrays.copyOf(ucStack, ucStack.length * 2)
+          ucStack(ucTop) = ucSkip
+          ucTop += 1
+          i += 1
+        }
         else if (c == '}') {
           depth -= 1
+          if (ucTop > 0) { ucTop -= 1; ucSkip = ucStack(ucTop) }
           i += 1
           if (depth < skipDepth) skipDepth = Int.MaxValue
         } else if (c == '\r' || c == '\n') i += 1 // raw newlines are ignored

@@ -174,7 +174,10 @@ object Sniffer {
       else if (has("PowerPoint Document")) MimePpt
       else MimeCfb
     if (names.nonEmpty) classify(names.contains)
-    else classify(containsUtf16(b, _))
+    // fallback probes require the directory entry's trailing UTF-16 NUL:
+    // a short name like "Book" would otherwise match inside ordinary
+    // stream text (e.g. "Notebook" as UTF-16 content)
+    else classify(n => containsUtf16(b, n + "\u0000"))
   }
 
   private val MaxCfbScan = 4 << 20 // directory sectors live well before 4 MB
@@ -219,7 +222,8 @@ object Sniffer {
     * file headers (skipping by the recorded compressed size — works for
     * non-streaming zips; a streaming zip with zero sizes just stops the
     * walk), never inflates anything, touches at most a few KB. */
-  private val MaxMembers = 8
+  private val MaxMembers = 32 // real-world OOXML can lead with docProps/
+  // _rels/customXml members; the walk stays a few KB regardless
 
   private def sniffZip(b: Array[Byte]): String = {
     var off = 0

@@ -173,33 +173,50 @@ object Dedup {
     * O(graph diameter) rounds; near-dup components are shallow, so 2-3
     * rounds typical — the cap is a runaway guard, and hitting it raises
     * rather than silently returning partial clusters).
+    *
+    * The fixpoint is materialized via a RELIABLE checkpoint before the loop
+    * caches are released: returning the cached plan itself would leak one
+    * MEMORY_AND_DISK cache per invocation, and an unpersisted lazy plan
+    * would replay every propagation round on first use. On a real cluster
+    * set `sparkContext.setCheckpointDir` to shared storage (the standard
+    * iterative-algorithm contract); when unset, a driver-local temp dir is
+    * used — correct in local mode, where executors share the filesystem.
     * Returns (doc_id, cluster_id). */
   def clusters(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
       maxRounds: Int = 10): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var converged = false
-      var i = 0
-      while (!converged && i < maxRounds) {
-        val neighborMin = edges.join(labels, edges("b") === labels("id"))
-          .groupBy(edges("a").as("id2")).agg(min(col("cluster")).as("nmin"))
-        val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
-          .select(col("id"),
-            least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val changed = next.as("n").join(labels.as("p"), col("n.id") === col("p.id"))
-          .where(col("n.cluster") =!= col("p.cluster")).limit(1).count()
-        labels.unpersist()
-        labels = next
-        converged = changed == 0
-        i += 1
-      }
-      require(converged, s"label propagation did not converge in $maxRounds rounds")
-      labels.select(col("id").as(idCol), col("cluster").as("cluster_id"))
+      try {
+        var converged = false
+        var i = 0
+        while (!converged && i < maxRounds) {
+          val neighborMin = edges.join(labels, edges("b") === labels("id"))
+            .groupBy(edges("a").as("id2")).agg(min(col("cluster")).as("nmin"))
+          val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
+            .select(col("id"),
+              least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val changed = next.as("n").join(labels.as("p"), col("n.id") === col("p.id"))
+            .where(col("n.cluster") =!= col("p.cluster")).limit(1).count()
+          labels.unpersist()
+          labels = next
+          converged = changed == 0
+          i += 1
+        }
+        require(converged, s"label propagation did not converge in $maxRounds rounds")
+        if (sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(java.nio.file.Files
+            .createTempDirectory("graft-clusters-ckpt-").toString)
+        // eager file-backed materialization computed from the still-cached
+        // labels; after it, no persisted RDD from this call remains
+        labels.select(col("id").as(idCol), col("cluster").as("cluster_id"))
+          .checkpoint()
+      } finally labels.unpersist()
     } finally edges.unpersist()
   }
 

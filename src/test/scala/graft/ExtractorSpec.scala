@@ -297,6 +297,16 @@ class ExtractorSpec extends AnyFunSuite {
     assert(new String(e2.text, StandardCharsets.UTF_8) == "AäB\t—C {lit}\ndone")
   }
 
+  test("rtf: \\ucN is group-scoped — a {\\uc0 ...} group must not leak") {
+    // inside the group \uc0 -> no fallback skip; after '}' the default
+    // \uc1 is restored, so the 'Y' fallback char after 舒 is skipped
+    val rtf = "{\\rtf1\\ansi{\\uc0\\u8212 X}\\u8212 Y}".getBytes
+    val e = Extractor.extract("u", rtf)
+    assert(e.status == "finished", s"msg=${e.message}")
+    assert(new String(e.text, StandardCharsets.UTF_8) == "—X—",
+      s"got '${new String(e.text, StandardCharsets.UTF_8)}'")
+  }
+
   test("rtf never throws on truncations and garbage control words") {
     val good = graft.corpus.LegacyGen.rtf(Seq("some paragraph here"))
     (1 until good.length by 13).foreach { cut =>
@@ -392,6 +402,37 @@ class ExtractorSpec extends AnyFunSuite {
       b((k * 37) % b.length) = (k * 13).toByte
       assert(Extractor.extract("u", b).status != null)
     }
+  }
+
+  test("zip probe survives real-world member ordering: leading docProps/_rels") {
+    // an OOXML whose first 10 members are metadata parts must still sniff
+    // as docx (the r3 walk stopped after 8 local headers)
+    val fillers = Seq("[Content_Types].xml", "_rels/.rels", "docProps/app.xml",
+      "docProps/core.xml", "docProps/custom.xml", "customXml/item1.xml",
+      "customXml/itemProps1.xml", "customXml/_rels/item1.xml.rels",
+      "docProps/thumbnail.jpeg", "theme/theme1.xml")
+      .map(n => n -> s"<x>$n</x>".getBytes(StandardCharsets.UTF_8))
+    val payload = ZipGen.zip(fillers :+
+      ("word/document.xml" -> "<w:document/>".getBytes(StandardCharsets.UTF_8)))
+    assert(Sniffer.sniff(payload) == Sniffer.MimeDocx)
+  }
+
+  test("cfb byte-scan fallback needs the directory-entry NUL terminator") {
+    import graft.extract.CfbReader
+    def cfbWith(tail: Array[Byte]): Array[Byte] =
+      Array[Byte](0xd0.toByte, 0xcf.toByte, 0x11, 0xe0.toByte,
+        0xa1.toByte, 0xb1.toByte, 0x1a, 0xe1.toByte) ++
+        new Array[Byte](504) ++ tail // zeroed header: directory walk fails
+    def utf16(s: String) = s.getBytes(StandardCharsets.UTF_16LE)
+    assert(CfbReader.streamNames(cfbWith(utf16("x"))).isEmpty) // fallback active
+    // 'Book' inside ordinary UTF-16 stream text must NOT classify as xls
+    assert(Sniffer.sniff(cfbWith(utf16("about the NoteBook series"))) ==
+      Sniffer.MimeCfb)
+    // a real (truncated-directory) entry name carries the trailing NUL
+    assert(Sniffer.sniff(cfbWith(utf16("Book") ++ Array[Byte](0, 0))) ==
+      Sniffer.MimeXls)
+    assert(Sniffer.sniff(cfbWith(utf16("WordDocument") ++ Array[Byte](0, 0))) ==
+      Sniffer.MimeDoc)
   }
 
   test("iWork and epub zips classify by member layout / mimetype member") {

@@ -33,6 +33,18 @@ class OpsSpec extends AnyFunSuite {
     assert(cl.values.toSet == Set(0L), s"all chain members -> cluster 0: $cl")
   }
 
+  test("dedup clusters: no persisted RDD is left behind (r3 verdict leak)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ids = (0L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.clusters(ids, chain)
+    assert(out.count() == 6) // consume AFTER clusters returned
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"clusters leaked persisted RDDs: $leaked")
+  }
+
   test("dedup clusters: pair members share a cluster; singletons self-map") {
     val pairs = Dedup.minhashPairs(docs, threshold = 0.8)
     val cl = Dedup.clusters(docs, pairs)
