@@ -107,6 +107,10 @@ object Heuristics {
     * zip classification.
     * v5: legacy OLE2 Office EXTRACTION — CFB FAT/ministream reader, MS-DOC
     * piece-table text, BIFF8 SST, PPT text atoms; CFB sniffing upgraded
-    * from byte scan to a real directory walk. */
-  val Version = "v5"
+    * from byte scan to a real directory walk.
+    * v6: text/csv naming on the plain-text branch; over-cap MS-DOC text
+    * surfaces as failed ("text exceeds the extraction cap") instead of a
+    * silently truncated finished row; zip member probe walks 32 headers;
+    * CFB byte-scan fallback requires the directory-entry NUL terminator. */
+  val Version = "v6"
 }

@@ -50,8 +50,11 @@ object PagesGen {
     * category map re-sliced (dup pair now 83/84).
     * c7: the OLE2 categories carry REAL Office content (MS-DOC FIB + piece
     * table, BIFF8 SST, PPT text atoms in a proper multi-stream CFB with
-    * ministream) and extract as finished. */
-  val CorpusVersion = "c7"
+    * ministream) and extract as finished.
+    * c8: csv category (text/csv naming, config.yml:191); media-junk grows a
+    * heif/heic variant (ftyp + meta/iprp/ipco/ispe with real dims) and
+    * rotates variants PER ROW so all 9 appear within 500 rows. */
+  val CorpusVersion = "c8"
 
   // fixed multilingual word pools (fi / sv / en flavor for `lang` variety)
   private val WordsEn = Array(
@@ -106,7 +109,8 @@ object PagesGen {
     * (config.yml:34-153): convertable documents, legacy OLE2, RTF, the full
     * ODF + StarOffice families, iWork/epub, media, and the failure modes. */
   def category(idx: Long): String = (idx % 100) match {
-    case m if m < 34 => "html-clean"
+    case m if m < 33 => "html-clean"
+    case 33 => "csv"
     case m if m < 47 => "html-messy"
     case m if m < 56 => "html-linkfarm"
     case m if m < 66 => "pdf-simple"
@@ -243,9 +247,14 @@ object PagesGen {
           case 2 => ZipGen.iwork("numbers", junkBytes(r, 128 + r.nextInt(128)))
           case _ => ZipGen.epub((0 until 3).map(_ => paragraph(r, lang, 2)))
         }
+      case "csv" => csvPayload(r, lang)
       case "pdf-bad-coords" =>
         PdfGen.build(PdfGen.PdfSpec(pdfPages(r, lang, 1), badCoords = true))
-      case "media-junk" => mediaJunk(r, ((idx / 100) % 8).toInt)
+      case "media-junk" =>
+        // per-ROW variant rotation (2 media rows per 100-block at 75/76):
+        // all 9 variants — incl. heif/heic — appear within the first 500
+        // rows, so goldens/expected.tsv and the m01 export exercise each
+        mediaJunk(r, (((idx / 100) * 2 + (idx % 100 - 75)) % 9).toInt)
       case "random-junk" => randomJunk(r)
       case "truncated" =>
         // valid PDF prefix cut before any content stream completes
@@ -348,6 +357,21 @@ object PagesGen {
       (0 until 20 + r.nextInt(25)).map(_ => sentence(r, lang))
     }
 
+  /** Plain CSV: header + data rows, every line the same comma count — the
+    * shape the sniffer's text/csv heuristic names (reference FILEMIMETYPES
+    * magic fallback, config.yml:191). */
+  def csvPayload(r: Rng, lang: String): Array[Byte] = {
+    val w = pool(lang)
+    val cols = 3 + r.nextInt(4)
+    val header = (0 until cols).map(i => s"${w(r.nextInt(w.length))}_$i").mkString(",")
+    val rows = (0 until 8 + r.nextInt(20)).map { _ =>
+      (0 until cols).map(_ =>
+        if (r.nextBool(0.3)) r.nextInt(100000).toString
+        else w(r.nextInt(w.length))).mkString(",")
+    }
+    (header +: rows).mkString("\n").getBytes(StandardCharsets.UTF_8)
+  }
+
   private def mediaJunk(r: Rng, variant: Int): Array[Byte] = {
     // every variant has a VALID, parseable header (the part ops.Multimodal
     // really reads) followed by junk body bytes
@@ -401,7 +425,19 @@ object PagesGen {
           Array[Byte](10, 0, 0, 0, 0, 0, 0, 0,
             (w - 1).toByte, ((w - 1) >>> 8).toByte, ((w - 1) >>> 16).toByte,
             (h - 1).toByte, ((h - 1) >>> 8).toByte, ((h - 1) >>> 16).toByte)
-      case _ => // unreachable (variant is %8); keep mp4 for safety
+      case 8 => // heif/heic: ftyp + meta>iprp>ipco>ispe box walk, real dims
+        val w = 16 + r.nextInt(2048)
+        val h = 16 + r.nextInt(2048)
+        val brand = if (r.nextBool(0.5)) "heic" else "mif1"
+        def be(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+          (v >>> 8).toByte, v.toByte)
+        def a(s: String) = s.getBytes(StandardCharsets.US_ASCII)
+        be(16) ++ a("ftyp") ++ a(brand) ++ be(0) ++ // major brand + minor
+          be(48) ++ a("meta") ++ be(0) ++ // FullBox version/flags
+          be(36) ++ a("iprp") ++
+          be(28) ++ a("ipco") ++
+          be(20) ++ a("ispe") ++ be(0) ++ be(w) ++ be(h)
+      case _ => // unreachable (variant is %9); keep mp4 for safety
         Array[Byte](0, 0, 0, 0x20, 'f', 't', 'y', 'p', 'i', 's', 'o', 'm')
     }
     val tail = new Array[Byte](256 + r.nextInt(256))

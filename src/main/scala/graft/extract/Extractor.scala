@@ -47,7 +47,8 @@ object Extractor {
     mime match {
       case Sniffer.MimeHtml => extractHtml(url, payload)
       case Sniffer.MimePdf => extractPdf(url, payload)
-      case Sniffer.MimeText => extractPlainText(url, payload)
+      case Sniffer.MimeText | Sniffer.MimeCsv =>
+        extractPlainText(url, payload, mime)
       case Sniffer.MimeDocx => ooxml(url, mime, OoxmlParser.extractDocx(payload))
       case Sniffer.MimePptx => ooxml(url, mime, OoxmlParser.extractPptx(payload))
       case Sniffer.MimeXlsx => ooxml(url, mime, OoxmlParser.extractXlsx(payload))
@@ -178,12 +179,13 @@ object Extractor {
 
   // ---------------------------------------------------------------- text
 
-  private def extractPlainText(url: String, payload: Array[Byte]): Extracted = {
+  private def extractPlainText(url: String, payload: Array[Byte],
+      mime: String): Extracted = {
     val text = decode(payload).trim
     val spans =
       if (text.isEmpty) Vector.empty[Span]
       else Vector(Span("text", 0L, Boilerplate.utf8Len(text)))
-    finish(url, Sniffer.MimeText, text, spans)
+    finish(url, mime, text, spans)
   }
 
   private def finish(url: String, mime: String, text: String, spans: Seq[Span],

@@ -126,6 +126,12 @@ object LegacyOffice {
         }
         p += 1
       }
+      // the output cap stopped appending before the claimed text range was
+      // consumed: SURFACE the truncation (r3 verdict) — a silently
+      // shortened 'finished' text would be scored by downstream
+      // dedup/quality ops as if it were the whole document
+      if (cpDone < ccpText && sb.length >= maxChars)
+        return OoxmlFailure("text exceeds the extraction cap")
       if (sb.length == 0) return OoxmlFailure("no text content")
       OoxmlParser.paragraphsToResult(normalizeDocText(sb.toString), "p")
     } catch {

@@ -23,13 +23,14 @@ object Sniffer {
   val MimePpt = "application/vnd.ms-powerpoint"
   val MimeCfb = "application/x-cfb"
   val MimeRtf = "text/rtf" // reference config.yml:71-74
+  val MimeCsv = "text/csv" // reference magic fallback table, config.yml:191
 
   /** Type family for a detected mimetype — the routing key the dispatcher
     * uses and a user-facing column (detect-result analog, views.py:82-95). */
   def kindOf(mime: String): String = mime match {
     case MimeHtml => "html"
     case MimePdf => "pdf"
-    case MimeText => "text"
+    case MimeText | MimeCsv => "text"
     case MimeRtf => "rtf"
     case MimeDocx | MimePptx | MimeXlsx => "ooxml"
     case MimeDoc | MimeXls | MimePpt | MimeCfb => "ole2"
@@ -136,8 +137,29 @@ object Sniffer {
     else if (startsWith(b, SigRiff)) riffKind(b)
     else if (startsWith(b, SigFtyp, off = 4)) ftypKind(b)
     else if (looksHtml(b)) MimeHtml
-    else if (looksText(b)) MimeText
+    else if (looksText(b)) { if (looksCsv(b)) MimeCsv else MimeText }
     else MimeUnknown
+  }
+
+  /** text/csv naming on the plain-text branch (the reference's magic
+    * fallback table names text/csv, config.yml:191). Conservative shape
+    * test so prose with commas stays text/plain: at least two COMPLETE
+    * lines in the first 512 bytes, every line non-empty and carrying the
+    * same nonzero comma count. */
+  private def looksCsv(b: Array[Byte]): Boolean = {
+    val m = math.min(b.length, 512)
+    val s = new java.lang.String(b, 0, m, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // drop the possibly-truncated final line when the payload was cut
+    val complete =
+      if (m < b.length) s.substring(0, math.max(0, s.lastIndexOf('\n'))) else s
+    val lines = complete.split("\n").map { l =>
+      if (l.nonEmpty && l.charAt(l.length - 1) == '\r') l.substring(0, l.length - 1) else l
+    }
+    if (lines.length < 2 || lines.exists(_.isEmpty)) return false
+    def commas(l: String): Int = { var n = 0; var i = 0
+      while (i < l.length) { if (l.charAt(i) == ',') n += 1; i += 1 }; n }
+    val c0 = commas(lines(0))
+    c0 >= 1 && lines.forall(commas(_) == c0)
   }
 
   /** ISO-BMFF `ftyp` major brand at offset 8: the container is shared by

@@ -404,6 +404,35 @@ class ExtractorSpec extends AnyFunSuite {
     }
   }
 
+  test("csv payloads sniff as text/csv and extract on the text path") {
+    val csv = PagesGen.csvPayload(new Rng(7L), "en")
+    assert(Sniffer.sniff(csv) == Sniffer.MimeCsv)
+    val e = Extractor.extract("u", csv)
+    assert(e.status == "finished", s"msg=${e.message}")
+    assert(e.mimeType == "text/csv" && e.detectedKind == "text")
+    assert(new String(e.text, StandardCharsets.UTF_8) ==
+      new String(csv, StandardCharsets.UTF_8).trim)
+    // prose with UNEQUAL per-line comma counts stays text/plain
+    assert(Sniffer.sniff(
+      "One, two, three.\nA different, shorter tail.".getBytes) == Sniffer.MimeText)
+    assert(Sniffer.sniff("a,b,c\nd,e\nf,g,h".getBytes) == Sniffer.MimeText)
+    // a single line is not a table
+    assert(Sniffer.sniff("k,v".getBytes) == Sniffer.MimeText)
+    assert(Sniffer.sniff("a,b\r\nc,d\r\ne,f".getBytes) == Sniffer.MimeCsv)
+  }
+
+  test("over-cap .doc text surfaces as failed, not silently truncated") {
+    import graft.corpus.LegacyGen
+    // > 4M chars of claimed main-document text
+    val big = "word " * (((4 << 20) / 5) + 2048)
+    val e = Extractor.extract("u", LegacyGen.doc(Seq(big)))
+    assert(e.status == "failed", s"got ${e.status}")
+    assert(e.message == "text exceeds the extraction cap", e.message)
+    // control: an in-cap doc still finishes
+    assert(Extractor.extract("u",
+      LegacyGen.doc(Seq("short body"))).status == "finished")
+  }
+
   test("zip probe survives real-world member ordering: leading docProps/_rels") {
     // an OOXML whose first 10 members are metadata parts must still sniff
     // as docx (the r3 walk stopped after 8 local headers)

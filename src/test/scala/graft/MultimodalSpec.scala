@@ -11,23 +11,23 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("media metadata: types detected, image dims + wav format parsed") {
     val spark = TestSpark.spark
-    // 900 rows: media-junk variant rotates by idx/100, so all 8 variants
-    // (mp4, flac, png, gif, jpeg, wav, tiff, webp) appear
-    val pages = CorpusWriter.pagesDs(spark, 900L, partitions = 4)
+    // 500 rows: media-junk variants rotate PER ROW (c8), so all 9 —
+    // mp4, flac, png, gif, jpeg, wav, tiff, webp, heif/heic — appear
+    val pages = CorpusWriter.pagesDs(spark, 500L, partitions = 4)
     val meta = Multimodal.mediaMeta(pages).collect()
     assert(meta.nonEmpty)
     val types = meta.map(_.mediaType).toSet
     assert(Set("video/mp4", "audio/flac", "image/png", "image/gif",
       "image/jpeg", "audio/wav", "image/tiff", "image/webp").subsetOf(types),
       s"got $types")
-    Seq("image/png", "image/gif", "image/jpeg", "image/tiff", "image/webp")
-      .foreach { t =>
-      val imgs = meta.filter(_.mediaType == t)
-      assert(imgs.nonEmpty, t)
-      imgs.foreach { m =>
-        assert(m.width >= 16 && m.width < 16 + 2048, s"$t width ${m.width}")
-        assert(m.height >= 16 && m.height < 16 + 2048, s"$t height ${m.height}")
-      }
+    assert(types.contains("image/heic") || types.contains("image/heif"),
+      s"corpus must exercise the heif/heic ftyp branch: $types")
+    // EVERY image row — incl. heif's ispe walk — parses real dims
+    val imgs = meta.filter(_.mediaType.startsWith("image/"))
+    assert(imgs.nonEmpty)
+    imgs.foreach { m =>
+      assert(m.width >= 16 && m.width < 16 + 2048, s"${m.mediaType} width ${m.width}")
+      assert(m.height >= 16 && m.height < 16 + 2048, s"${m.mediaType} height ${m.height}")
     }
     val wavs = meta.filter(_.mediaType == "audio/wav")
     assert(wavs.nonEmpty)
