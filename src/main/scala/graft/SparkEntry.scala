@@ -29,10 +29,12 @@ import graft.pipeline.ExtractPipeline
   *    ingest path — its counts must equal the parquet path's; x07 the
   *    thumbnail artifact fan-out.
   *
-  * Oracle coverage: 31/37. The 6 rows-only queries are hash-seeded ops
-  * DuckDB cannot express (d08 winnowing, e02 sign-LSH, e04 IVF — each
-  * cross-checked against exact/brute twins in OpsSpec), the multimodal
-  * header parses (m01/m02), and per-doc x02 (golden byte-equality gate).
+  * Oracle coverage: 34/37. The 3 rows-only queries are the hash-seeded
+  * ANN ops DuckDB cannot express (e02 sign-LSH, e04 IVF — each
+  * cross-checked against exact/brute twins in OpsSpec) and per-doc x02
+  * (golden byte-equality gate + source of x01/x06's oracle exports).
+  * d08 and the multimodal queries (m01/m02) are value-checked through
+  * their own per-doc exports (see each query's comment).
   */
 object SparkEntry {
 
@@ -248,7 +250,16 @@ object SparkEntry {
         Dedup.simhash(col("text")).as("sig")), "d07sigs")
       Dedup.simhashPairs(docs, maxHamming = 3)
     }),
-    "d08_fingerprint" -> ((s, d) => TextStats.fingerprint(t(s, d, "documents"))),
+    "d08_fingerprint" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // per-doc sketch VALUES are exported exploded; the oracle re-assembles
+      // the CSV sketch from them in DuckDB (list + sort + join) and must
+      // match the engine's own concat_ws construction value-for-value —
+      // d08 was rows-only (xxhash64 inexpressible in DuckDB) until r4
+      exportAndRead(TextStats.fingerprintValues(docs)
+        .select(col("doc_id"), explode(col("fp")).as("fp")), "d08fp")
+      TextStats.fingerprint(docs)
+    }),
     "d09_dedup_clusters" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Dedup.clusters(docs, Dedup.minhashPairs(docs, threshold = 0.8))
@@ -273,14 +284,36 @@ object SparkEntry {
       Similarity.annIvf(t(s, d, "embeddings"), col("vec_id") < 20, k = 5)),
     // ------------------------------------------------ multimodal
     "m01_media_meta" -> ((s, d) => {
-      graft.ops.Multimodal.mediaMeta(pages(s, d)).toDF().orderBy("url")
+      // per-doc header-parse rows (url, mediaType, byteLen, width, height,
+      // sampleRate, channels) are exported; the query returns the per-type
+      // aggregate, which the static DuckDB SQL independently re-derives
+      // from the export — the x01 pattern, turning m01 from rows-only into
+      // a real schema+rows+hash check (reference analog: the metadata
+      // equality asserts of test_views.py:92)
+      val meta = graft.ops.Multimodal.mediaMeta(pages(s, d)).toDF()
+      exportAndRead(meta, "m01media")
+        .groupBy(col("mediaType"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("byteLen")).as("bytes"),
+          min(col("width")).as("w_min"), max(col("width")).as("w_max"),
+          min(col("height")).as("h_min"), max(col("height")).as("h_max"),
+          max(col("sampleRate")).as("rate_max"), max(col("channels")).as("ch_max"))
+        .orderBy("mediaType")
     }),
     "m02_media_features" -> ((s, d) => {
-      graft.ops.Multimodal.mediaFeatures(pages(s, d)).toDF()
+      // same export-oracle pattern over the stub-decode feature rows
+      val f = graft.ops.Multimodal.mediaFeatures(pages(s, d)).toDF()
         .select(col("url"), col("mediaType"), col("frames"),
           size(col("feature")).as("dim"),
           round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))
-        .orderBy("url")
+      exportAndRead(f, "m02feat")
+        .groupBy(col("mediaType"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("frames")).as("frames_total"),
+          min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+          round(min(col("f0")), 4).as("f0_min"),
+          round(max(col("f0")), 4).as("f0_max"))
+        .orderBy("mediaType")
     }),
     // ------------------------------------------------ extraction
     "x01_extract_status_counts" -> ((s, d) => {
@@ -660,6 +693,31 @@ object SparkEntry {
         | UNION
         | SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a)
         |SELECT x AS doc_id, MIN(y) AS cluster_id FROM reach GROUP BY x""".stripMargin,
+    // winnowing fingerprints: the engine's CSV sketch per doc must equal
+    // DuckDB's independent re-assembly (list + ascending sort + join) of
+    // the exported per-doc sketch VALUES — any dropped/extra/reordered
+    // hash in the sketch construction breaks the row hash
+    "d08_fingerprint" ->
+      s"""SELECT doc_id, array_to_string(list_sort(list(fp)), ',') AS fingerprint
+         |FROM read_parquet('$ExportRoot/d08fp/*.parquet')
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // multimodal metadata/features: DuckDB re-aggregates the per-doc
+    // exports (the x01 pattern); SUMs cast to BIGINT (DuckDB INT128)
+    "m01_media_meta" ->
+      s"""SELECT "mediaType", COUNT(*) AS docs,
+         | CAST(SUM("byteLen") AS BIGINT) AS bytes,
+         | MIN(width) AS w_min, MAX(width) AS w_max,
+         | MIN(height) AS h_min, MAX(height) AS h_max,
+         | MAX("sampleRate") AS rate_max, MAX(channels) AS ch_max
+         |FROM read_parquet('$ExportRoot/m01media/*.parquet')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "m02_media_features" ->
+      s"""SELECT "mediaType", COUNT(*) AS docs,
+         | CAST(SUM(frames) AS BIGINT) AS frames_total,
+         | MIN(dim) AS dim_min, MAX(dim) AS dim_max,
+         | ROUND(MIN(f0), 4) AS f0_min, ROUND(MAX(f0), 4) AS f0_max
+         |FROM read_parquet('$ExportRoot/m02feat/*.parquet')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // ------------------------------------------------ extraction exports
     // The oracle cannot replicate extraction, but it CAN independently
     // re-aggregate the engine's own per-doc exports (fixed paths written by

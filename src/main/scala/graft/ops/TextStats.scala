@@ -148,21 +148,27 @@ object TextStats {
         lit(0.0))
         .as("top_bigram_frac"))
 
-  /** Winnowing-style document fingerprint (Schleimer/Wilkerson/Aiken,
-    * SIGMOD 2003, simplified): rolling 8-char-gram hashes, keep the
-    * `k` smallest distinct — a compact sketch for containment checks. */
-  def fingerprint(docs: DataFrame, gram: Int = 8, k: Int = 8): DataFrame = {
+  /** The raw k-smallest-distinct rolling-gram hashes behind
+    * [[fingerprint]], as a per-doc array column — the exploded export of
+    * these values is what d08's oracle re-assembles in DuckDB. */
+  def fingerprintValues(docs: DataFrame, gram: Int = 8, k: Int = 8): DataFrame = {
     val norm = regexp_replace(lower(col("text")), "[^a-z0-9]", "")
     val grams = transform(
       sequence(lit(1), greatest(length(norm) - (gram - 1), lit(1))),
       i => xxhash64(norm.substr(i, lit(gram))))
     docs.select(
       col("doc_id"),
+      slice(array_sort(array_distinct(grams)), 1, k).as("fp"))
+  }
+
+  /** Winnowing-style document fingerprint (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003, simplified): rolling 8-char-gram hashes, keep the
+    * `k` smallest distinct — a compact sketch for containment checks. */
+  def fingerprint(docs: DataFrame, gram: Int = 8, k: Int = 8): DataFrame =
+    fingerprintValues(docs, gram, k).select(
+      col("doc_id"),
       // stringified sketch: array-typed output columns crash the driver's
       // pandas comparer (unhashable numpy.ndarray) and a CSV of 8 longs is
       // just as usable for containment checks downstream
-      concat_ws(",",
-        slice(array_sort(array_distinct(grams)), 1, k).cast("array<string>"))
-        .as("fingerprint"))
-  }
+      concat_ws(",", col("fp").cast("array<string>")).as("fingerprint"))
 }
