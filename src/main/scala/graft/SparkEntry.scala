@@ -251,14 +251,15 @@ object SparkEntry {
       Dedup.simhashPairs(docs, maxHamming = 3)
     }),
     "d08_fingerprint" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      // per-doc sketch VALUES are exported exploded; the oracle re-assembles
-      // the CSV sketch from them in DuckDB (list + sort + join) and must
-      // match the engine's own concat_ws construction value-for-value —
-      // d08 was rows-only (xxhash64 inexpressible in DuckDB) until r4
-      exportAndRead(TextStats.fingerprintValues(docs)
-        .select(col("doc_id"), explode(col("fp")).as("fp")), "d08fp")
-      TextStats.fingerprint(docs)
+      // per-doc sketch VALUE ARRAYS are exported; the oracle re-assembles
+      // each CSV sketch in DuckDB (sort + join over the same arrays) and
+      // must match the engine's own concat_ws construction value-for-value
+      // — d08 was rows-only (xxhash64 inexpressible in DuckDB) until r4.
+      // The expensive gram scan runs ONCE: the returned CSV is built from
+      // the re-read export, exactly like m01/m02
+      exportAndRead(TextStats.fingerprintValues(t(s, d, "documents")), "d08fp")
+        .select(col("doc_id"),
+          concat_ws(",", col("fp").cast("array<string>")).as("fingerprint"))
     }),
     "d09_dedup_clusters" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -694,13 +695,13 @@ object SparkEntry {
         | SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a)
         |SELECT x AS doc_id, MIN(y) AS cluster_id FROM reach GROUP BY x""".stripMargin,
     // winnowing fingerprints: the engine's CSV sketch per doc must equal
-    // DuckDB's independent re-assembly (list + ascending sort + join) of
-    // the exported per-doc sketch VALUES — any dropped/extra/reordered
-    // hash in the sketch construction breaks the row hash
+    // DuckDB's independent re-assembly (ascending sort + join) of the
+    // exported per-doc sketch values — any dropped/extra/unsorted hash in
+    // the sketch construction breaks the row hash
     "d08_fingerprint" ->
-      s"""SELECT doc_id, array_to_string(list_sort(list(fp)), ',') AS fingerprint
+      s"""SELECT doc_id, array_to_string(list_sort(fp), ',') AS fingerprint
          |FROM read_parquet('$ExportRoot/d08fp/*.parquet')
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |ORDER BY doc_id""".stripMargin,
     // multimodal metadata/features: DuckDB re-aggregates the per-doc
     // exports (the x01 pattern); SUMs cast to BIGINT (DuckDB INT128)
     "m01_media_meta" ->

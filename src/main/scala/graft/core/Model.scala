@@ -108,9 +108,12 @@ object Heuristics {
     * v5: legacy OLE2 Office EXTRACTION — CFB FAT/ministream reader, MS-DOC
     * piece-table text, BIFF8 SST, PPT text atoms; CFB sniffing upgraded
     * from byte scan to a real directory walk.
-    * v6: text/csv naming on the plain-text branch; over-cap MS-DOC text
-    * surfaces as failed ("text exceeds the extraction cap") instead of a
-    * silently truncated finished row; zip member probe walks 32 headers;
-    * CFB byte-scan fallback requires the directory-entry NUL terminator. */
+    * v6: text/csv naming on the plain-text branch (>= 3 complete lines,
+    * equal nonzero comma counts); MS-DOC main text not fully consumed
+    * surfaces as failed ("text exceeds the extraction cap" / "piece table
+    * incomplete") instead of a silently shortened finished row; zip member
+    * probe walks 32 headers; CFB byte-scan fallback requires the
+    * directory-entry NUL terminator; RTF \ucN group-scoped and pending
+    * fallback skips cancelled at group boundaries. */
   val Version = "v6"
 }

@@ -126,12 +126,15 @@ object LegacyOffice {
         }
         p += 1
       }
-      // the output cap stopped appending before the claimed text range was
-      // consumed: SURFACE the truncation (r3 verdict) — a silently
+      // the claimed main-text range was not fully consumed: SURFACE it
+      // (r3 verdict) — whether the output cap stopped appending or the
+      // piece table pointed outside the WordDocument stream, a silently
       // shortened 'finished' text would be scored by downstream
       // dedup/quality ops as if it were the whole document
-      if (cpDone < ccpText && sb.length >= maxChars)
-        return OoxmlFailure("text exceeds the extraction cap")
+      if (cpDone < ccpText)
+        return OoxmlFailure(
+          if (sb.length >= maxChars) "text exceeds the extraction cap"
+          else "piece table incomplete")
       if (sb.length == 0) return OoxmlFailure("no text content")
       OoxmlParser.paragraphsToResult(normalizeDocText(sb.toString), "p")
     } catch {

@@ -70,11 +70,13 @@ object RtfParser {
             ucStack = java.util.Arrays.copyOf(ucStack, ucStack.length * 2)
           ucStack(ucTop) = ucSkip
           ucTop += 1
+          pendingUcSkip = 0 // \uN fallback text never crosses a group boundary
           i += 1
         }
         else if (c == '}') {
           depth -= 1
           if (ucTop > 0) { ucTop -= 1; ucSkip = ucStack(ucTop) }
+          pendingUcSkip = 0 // an unconsumed skip must not eat outer body text
           i += 1
           if (depth < skipDepth) skipDepth = Int.MaxValue
         } else if (c == '\r' || c == '\n') i += 1 // raw newlines are ignored

@@ -143,9 +143,10 @@ object Sniffer {
 
   /** text/csv naming on the plain-text branch (the reference's magic
     * fallback table names text/csv, config.yml:191). Conservative shape
-    * test so prose with commas stays text/plain: at least two COMPLETE
-    * lines in the first 512 bytes, every line non-empty and carrying the
-    * same nonzero comma count. */
+    * test so prose with commas stays text/plain: at least THREE complete
+    * lines in the first 512 bytes (header + two data rows — two short
+    * comma-bearing prose lines must not qualify), every line non-empty
+    * and carrying the same nonzero comma count. */
   private def looksCsv(b: Array[Byte]): Boolean = {
     val m = math.min(b.length, 512)
     val s = new java.lang.String(b, 0, m, java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -155,7 +156,7 @@ object Sniffer {
     val lines = complete.split("\n").map { l =>
       if (l.nonEmpty && l.charAt(l.length - 1) == '\r') l.substring(0, l.length - 1) else l
     }
-    if (lines.length < 2 || lines.exists(_.isEmpty)) return false
+    if (lines.length < 3 || lines.exists(_.isEmpty)) return false
     def commas(l: String): Int = { var n = 0; var i = 0
       while (i < l.length) { if (l.charAt(i) == ',') n += 1; i += 1 }; n }
     val c0 = commas(lines(0))

@@ -201,17 +201,33 @@ object Dedup {
             .select(col("id"),
               least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val changed = next.as("n").join(labels.as("p"), col("n.id") === col("p.id"))
-            .where(col("n.cluster") =!= col("p.cluster")).limit(1).count()
+          // a failure in the convergence count must release `next` too —
+          // at that point it is persisted but not yet owned by `labels`
+          val changed =
+            try next.as("n").join(labels.as("p"), col("n.id") === col("p.id"))
+              .where(col("n.cluster") =!= col("p.cluster")).limit(1).count()
+            catch { case t: Throwable => next.unpersist(); throw t }
           labels.unpersist()
           labels = next
           converged = changed == 0
           i += 1
         }
         require(converged, s"label propagation did not converge in $maxRounds rounds")
-        if (sc.getCheckpointDir.isEmpty)
-          sc.setCheckpointDir(java.nio.file.Files
-            .createTempDirectory("graft-clusters-ckpt-").toString)
+        if (sc.getCheckpointDir.isEmpty) {
+          // fallback dir is removed on JVM exit, bounding the disk held by
+          // checkpoint data to the driver's lifetime; long-lived drivers
+          // should set a managed checkpoint dir (and enable
+          // spark.cleaner.referenceTracking.cleanCheckpoints so data is
+          // reclaimed as soon as the result RDD is collected)
+          val dir = java.nio.file.Files.createTempDirectory("graft-clusters-ckpt-")
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            try {
+              import scala.jdk.CollectionConverters._
+              java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+                .foreach(p => java.nio.file.Files.deleteIfExists(p))
+            } catch { case _: Throwable => () }))
+          sc.setCheckpointDir(dir.toString)
+        }
         // eager file-backed materialization computed from the still-cached
         // labels; after it, no persisted RDD from this call remains
         labels.select(col("id").as(idCol), col("cluster").as("cluster_id"))

@@ -305,6 +305,12 @@ class ExtractorSpec extends AnyFunSuite {
     assert(e.status == "finished", s"msg=${e.message}")
     assert(new String(e.text, StandardCharsets.UTF_8) == "—X—",
       s"got '${new String(e.text, StandardCharsets.UTF_8)}'")
+    // an UNCONSUMED pending skip must die at the group boundary too: with
+    // \uc2 only 'A' exists inside the group, so 'B' after '}' is body text
+    val rtf2 = "{\\rtf1\\ansi{\\uc2\\u8212 A}BC}".getBytes
+    val e2 = Extractor.extract("u", rtf2)
+    assert(new String(e2.text, StandardCharsets.UTF_8) == "—BC",
+      s"got '${new String(e2.text, StandardCharsets.UTF_8)}'")
   }
 
   test("rtf never throws on truncations and garbage control words") {
@@ -416,8 +422,11 @@ class ExtractorSpec extends AnyFunSuite {
     assert(Sniffer.sniff(
       "One, two, three.\nA different, shorter tail.".getBytes) == Sniffer.MimeText)
     assert(Sniffer.sniff("a,b,c\nd,e\nf,g,h".getBytes) == Sniffer.MimeText)
-    // a single line is not a table
+    // fewer than 3 complete lines is not a table — two comma-bearing
+    // prose lines with EQUAL counts must stay text/plain
     assert(Sniffer.sniff("k,v".getBytes) == Sniffer.MimeText)
+    assert(Sniffer.sniff(
+      "Hello, world\nGoodbye, friend".getBytes) == Sniffer.MimeText)
     assert(Sniffer.sniff("a,b\r\nc,d\r\ne,f".getBytes) == Sniffer.MimeCsv)
   }
 
@@ -431,6 +440,21 @@ class ExtractorSpec extends AnyFunSuite {
     // control: an in-cap doc still finishes
     assert(Extractor.extract("u",
       LegacyGen.doc(Seq("short body"))).status == "finished")
+  }
+
+  test("doc piece pointing outside the stream surfaces, not silent finish") {
+    import graft.corpus.LegacyGen
+    val full = LegacyGen.doc(Seq("first paragraph body", "second paragraph body"))
+    // locate the Pcdt (clxt=2, lcb=28 for the two-piece PlcPcd) bytes
+    val pat = Array[Byte](2, 28, 0, 0, 0)
+    val at = full.indices.find(i => i + 5 <= full.length &&
+      pat.indices.forall(k => full(i + k) == pat(k))).get
+    val bad = full.clone()
+    // PCD[1].fc (le32 at +27): point far past the WordDocument stream end
+    bad(at + 27) = 0; bad(at + 28) = 0; bad(at + 29) = -1; bad(at + 30) = 0x3f
+    val e = Extractor.extract("u", bad)
+    assert(e.status == "failed", s"got ${e.status}: ${e.message}")
+    assert(e.message == "piece table incomplete", e.message)
   }
 
   test("zip probe survives real-world member ordering: leading docProps/_rels") {
