@@ -29,12 +29,13 @@ import graft.pipeline.ExtractPipeline
   *    ingest path — its counts must equal the parquet path's; x07 the
   *    thumbnail artifact fan-out.
   *
-  * Oracle coverage: 34/37. The 3 rows-only queries are the hash-seeded
-  * ANN ops DuckDB cannot express (e02 sign-LSH, e04 IVF — each
-  * cross-checked against exact/brute twins in OpsSpec) and per-doc x02
+  * Oracle coverage: 36/37. The only rows-only query is per-doc x02
   * (golden byte-equality gate + source of x01/x06's oracle exports).
-  * d08 and the multimodal queries (m01/m02) are value-checked through
-  * their own per-doc exports (see each query's comment).
+  * d08/m01/m02 are value-checked through per-doc exports; e02's seeded
+  * hyperplanes are baked into its oracle SQL as literals (DuckDB
+  * recomputes the whole LSH search independently); e04 exports its
+  * trained centroid table and DuckDB re-derives assignment, probing,
+  * scoring and ranking from it.
   */
 object SparkEntry {
 
@@ -65,6 +66,16 @@ object SparkEntry {
       df.write.mode("overwrite").parquet(path)
       df.sparkSession.read.parquet(path)
     }
+
+  /** DuckDB expression for the e02 sign-LSH bucket of a double-list column:
+    * the SAME seeded hyperplanes as `Similarity.hyperplanes(8, 64)` — a
+    * pure function of the seed, no data — baked in as literals so the
+    * oracle recomputes the bucketing independently of the engine. */
+  private def e02Bucket(vExpr: String): String =
+    graft.ops.Similarity.hyperplanes(8, 64).zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product($vExpr, ${p.mkString("[", ",", "]")}) > 0" +
+        s" THEN ${1L << j} ELSE 0 END)"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
 
   /** Synthetic pages corpus sized to the scale factor; cached per size. */
   private def pages(spark: SparkSession, dir: String): DataFrame = {
@@ -281,8 +292,19 @@ object SparkEntry {
       Similarity.annLsh(t(s, d, "embeddings"), col("vec_id") < 20, k = 5)),
     "e03_embedding_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(t(s, d, "embeddings"), threshold = 0.45)),
-    "e04_ann_ivf" -> ((s, d) =>
-      Similarity.annIvf(t(s, d, "embeddings"), col("vec_id") < 20, k = 5)),
+    "e04_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      // the trained coarse quantizer is exported: the oracle re-derives
+      // list assignment, probe selection, candidate scoring AND ranking in
+      // DuckDB from ONLY the centroid table — the whole IVF search modulo
+      // the k-means training is independently value-checked
+      val cents = Similarity.trainCentroids(emb, nlist = 16, dim = 64)
+        .map(_.toSeq).toSeq
+      import s.implicits._
+      exportAndRead(cents.zipWithIndex
+        .map { case (c, i) => (i, c) }.toDF("list", "cvec"), "e04cent")
+      Similarity.annIvfWith(emb, col("vec_id") < 20, k = 5, cents, nprobe = 4)
+    }),
     // ------------------------------------------------ multimodal
     "m01_media_meta" -> ((s, d) => {
       // per-doc header-parse rows (url, mediaType, byteLen, width, height,
@@ -628,6 +650,47 @@ object SparkEntry {
         |FROM e x JOIN e y ON x.vec_id < y.vec_id
         |WHERE ROUND(list_cosine_similarity(x.v, y.v), 4) >= 0.45
         |ORDER BY a, b""".stripMargin,
+    // sign-LSH ANN: the seeded hyperplanes are a PURE function (no data),
+    // so they are baked into the SQL as literals and DuckDB recomputes the
+    // whole search independently — bucketing, candidate join, scoring,
+    // ranking. Any drift in plane generation, bucket packing or top-k
+    // tie-breaks goes hash-red.
+    "e02_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${e02Bucket("v")} AS bucket FROM e),
+         |s AS (SELECT q.vec_id AS qid, n.vec_id AS nid, q.bucket AS bucket,
+         |        ROUND(list_cosine_similarity(q.v, n.v), 4) AS cos
+         |      FROM b q JOIN b n ON q.bucket = n.bucket AND n.vec_id <> q.vec_id
+         |      WHERE q.vec_id < 20),
+         |r AS (SELECT qid, nid, bucket, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |      FROM s)
+         |SELECT qid AS query_id, rank, nid AS neighbor_id, cos, bucket
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // IVF ANN: DuckDB re-derives list assignment (argmin centroid distance,
+    // ties -> lower list id), the 4 probe lists per query, candidate
+    // scoring and ranking from ONLY the exported centroid table.
+    "e04_ann_ivf" ->
+      s"""WITH c AS (SELECT list, cvec FROM read_parquet('$ExportRoot/e04cent/*.parquet')),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |d AS (SELECT e.vec_id, c.list,
+         |        list_distance(e.v, CAST(c.cvec AS DOUBLE[])) AS dist
+         |      FROM e CROSS JOIN c),
+         |r AS (SELECT vec_id, list,
+         |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, list) AS rn
+         |      FROM d),
+         |assign AS (SELECT vec_id AS nid, list FROM r WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, list FROM r WHERE rn <= 4 AND vec_id < 20),
+         |s AS (SELECT p.qid, a.nid, ROUND(list_cosine_similarity(eq.v, en.v), 4) AS cos
+         |      FROM probes p JOIN assign a USING (list)
+         |      JOIN e eq ON eq.vec_id = p.qid
+         |      JOIN e en ON en.vec_id = a.nid
+         |      WHERE a.nid <> p.qid),
+         |rk AS (SELECT qid, nid, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+         |      FROM s)
+         |SELECT qid AS query_id, rank, nid AS neighbor_id, cos
+         |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "d10_decontaminate" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),

@@ -219,10 +219,23 @@ object Similarity {
       nprobe: Int = 4,
       dim: Int = 64,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    annIvfWith(emb, queryPred, k,
+      trainCentroids(emb, nlist, dim, idCol = idCol, vecCol = vecCol)
+        .map(_.toSeq).toSeq,
+      nprobe, idCol, vecCol)
+
+  /** [[annIvf]] with an already-trained coarse quantizer — lets callers
+    * train once and reuse (or export) the centroid table. */
+  def annIvfWith(
+      emb: DataFrame,
+      queryPred: Column,
+      k: Int,
+      cents: Seq[Seq[Double]],
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.graftexpr.GraftExpr.centroid_probes
-    val cents: Seq[Seq[Double]] = trainCentroids(emb, nlist, dim,
-      idCol = idCol, vecCol = vecCol).map(_.toSeq).toSeq
     val assigned = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
       .withColumn("list", element_at(centroid_probes(col("nvec"), cents, 1), 1))
     val q = emb.where(queryPred)
