@@ -14,9 +14,10 @@ import graft.pipeline.ExtractPipeline
   * Query families (SURVEY.md §2 Table B):
   *  - q01..q10: relational coverage (agg, joins incl. broadcast/semi/anti,
   *    window, rollup, set ops, string/date/array functions, sessionize)
-  *  - d01..d11: training-data text ops (exact dedup, token stats, quality,
+  *  - d01..d12: training-data text ops (exact dedup, token stats, quality,
   *    lang-id, MinHash+LSH, brute Jaccard, SimHash, fingerprint, clusters,
-  *    benchmark decontamination, Gopher-style repetition signals)
+  *    benchmark decontamination, Gopher-style repetition signals, PII
+  *    scrubbing over the extracted corpus)
   *  - e01..e04: embedding similarity (brute-force cosine top-k, LSH ANN,
   *    brute near-dup pairs, IVF ANN)
   *  - x01..x07: the extraction pipeline itself on the synthetic pages
@@ -29,7 +30,7 @@ import graft.pipeline.ExtractPipeline
   *    ingest path — its counts must equal the parquet path's; x07 the
   *    thumbnail artifact fan-out.
   *
-  * Oracle coverage: 36/37. The only rows-only query is per-doc x02
+  * Oracle coverage: 37/38. The only rows-only query is per-doc x02
   * (golden byte-equality gate + source of x01/x06's oracle exports).
   * d08/m01/m02 are value-checked through per-doc exports; e02's seeded
   * hyperplanes are baked into its oracle SQL as literals (DuckDB
@@ -285,6 +286,19 @@ object SparkEntry {
         docs.where(col("doc_id") % 50 === 0), ngram = 5)
     }),
     "d11_repetition" -> ((s, d) => TextStats.repetition(t(s, d, "documents"))),
+    "d12_pii" -> ((s, d) => {
+      // PII scrubbing — the standard pre-training hygiene stage: per
+      // finished doc, per-category match counts + redacted length over the
+      // EXTRACTED text (the corpus plants emails/phones/IPs in article
+      // paragraphs). The text itself is exported and both engines compute
+      // the stats from it independently with identical RE2-compatible
+      // patterns — a real value check of the whole scrubbing op.
+      val out = ExtractPipeline.run(pages(s, d), ExtractPipeline.Config(partitions = 32))
+      val texts = exportAndRead(out.toDF()
+        .where(col("status") === "finished")
+        .select(col("url"), col("text").cast("string").as("text")), "d12text")
+      TextStats.piiStats(texts, idCol = "url", textCol = "text")
+    }),
     // ------------------------------------------------ similarity
     "e01_cosine_topk" -> ((s, d) =>
       Similarity.cosineTopK(t(s, d, "embeddings"), col("vec_id") < 20, k = 5)),
@@ -650,6 +664,21 @@ object SparkEntry {
         |FROM e x JOIN e y ON x.vec_id < y.vec_id
         |WHERE ROUND(list_cosine_similarity(x.v, y.v), 4) >= 0.45
         |ORDER BY a, b""".stripMargin,
+    // PII scrubbing: DuckDB recomputes category counts and the redacted
+    // length from the exported extracted text with the SAME patterns
+    // (restricted to the java.regex/RE2 common subset) in the same
+    // redaction order (emails, phones, IPv4)
+    "d12_pii" ->
+      s"""SELECT url,
+         | len(regexp_extract_all(text, '${graft.ops.TextStats.EmailPat}')) AS n_emails,
+         | len(regexp_extract_all(text, '${graft.ops.TextStats.PhonePat}')) AS n_phones,
+         | len(regexp_extract_all(text, '${graft.ops.TextStats.Ipv4Pat}')) AS n_ipv4,
+         | LENGTH(regexp_replace(regexp_replace(regexp_replace(text,
+         |   '${graft.ops.TextStats.EmailPat}', '<EMAIL>', 'g'),
+         |   '${graft.ops.TextStats.PhonePat}', '<PHONE>', 'g'),
+         |   '${graft.ops.TextStats.Ipv4Pat}', '<IP>', 'g')) AS redacted_chars
+         |FROM read_parquet('$ExportRoot/d12text/*.parquet')
+         |ORDER BY url""".stripMargin,
     // sign-LSH ANN: the seeded hyperplanes are a PURE function (no data),
     // so they are baked into the SQL as literals and DuckDB recomputes the
     // whole search independently — bucketing, candidate join, scoring,

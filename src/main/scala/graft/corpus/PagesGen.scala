@@ -53,8 +53,12 @@ object PagesGen {
     * ministream) and extract as finished.
     * c8: csv category (text/csv naming, config.yml:191); media-junk grows a
     * heif/heic variant (ftyp + meta/iprp/ipco/ispe with real dims) and
-    * rotates variants PER ROW so all 9 appear within 500 rows. */
-  val CorpusVersion = "c8"
+    * rotates variants PER ROW so all 9 appear within 500 rows.
+    * c9: ~15% of html-clean article paragraphs carry a planted PII
+    * sentence (ASCII email, +CC phone, dotted-quad IP) inline so the d12
+    * scrubbing op is corpus-exercised on text that survives boilerplate
+    * removal. */
+  val CorpusVersion = "c9"
 
   // fixed multilingual word pools (fi / sv / en flavor for `lang` variety)
   private val WordsEn = Array(
@@ -298,11 +302,27 @@ object PagesGen {
     s"""<aside class="sidebar"><h3>${w(r.nextInt(w.length))}</h3><ul>$items</ul></aside>"""
   }
 
+  /** Planted PII (ASCII-only so the Java-regex and RE2 oracles agree on
+    * every char class): email, international-format phone, IPv4. Appended
+    * INSIDE a long content paragraph so boilerplate removal keeps it. */
+  private def piiSentence(r: Rng): String = {
+    val u = WordsEn(r.nextInt(WordsEn.length))
+    val u2 = WordsEn(r.nextInt(WordsEn.length))
+    val dom = WordsEn(r.nextInt(WordsEn.length))
+    val phone = "+3584" + (1000000 + r.nextInt(9000000))
+    val ip = s"10.${r.nextInt(256)}.${r.nextInt(256)}.${r.nextInt(256)}"
+    s"Contact $u.$u2@$dom.example, tel $phone, host $ip."
+  }
+
   def htmlClean(r: Rng, lang: String, paras: Int): Array[Byte] = {
     val title = sentence(r, lang)
     val heading = sentence(r, lang)
     val body = (0 until paras)
-      .map(_ => s"<p>${paragraph(r, lang, 2 + r.nextInt(4))}</p>").mkString("\n")
+      .map { _ =>
+        val base = paragraph(r, lang, 2 + r.nextInt(4))
+        val text = if (r.nextBool(0.15)) base + " " + piiSentence(r) else base
+        s"<p>$text</p>"
+      }.mkString("\n")
     val html =
       s"""<!DOCTYPE html>
          |<html lang="$lang"><head><meta charset="utf-8"><title>$title</title></head>

@@ -148,6 +148,39 @@ object TextStats {
         lit(0.0))
         .as("top_bigram_frac"))
 
+  // ----------------------------------------------------------------- PII
+
+  /** Conservative PII patterns, deliberately restricted to syntax both
+    * java.util.regex (Spark codegen) and RE2 (the DuckDB oracle) evaluate
+    * identically: no word boundaries, no lookaround, no backrefs. ASCII
+    * email, international-format phone (+CC...), dotted-quad IPv4. */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePat = "\\+[0-9]{7,15}"
+  val Ipv4Pat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Redact PII in place — emails, then phones, then IPv4, a FIXED order
+    * mirrored by the oracle (an email's digits must not be half-eaten by
+    * the phone pass). The masked text is the pipeline transform; the
+    * counts in [[piiStats]] are the drop/keep filter signals. */
+  def redactPii(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(textCol, EmailPat, "<EMAIL>"),
+        PhonePat, "<PHONE>"),
+      Ipv4Pat, "<IP>")
+
+  /** Per-document PII signals: per-category match counts plus the length
+    * of the redacted text — the standard pre-training scrubbing stage
+    * (mask-or-drop by PII density). Narrow map, codegen'd regex, zero
+    * shuffle: scales like d02/d11. */
+  def piiStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(EmailPat), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PhonePat), lit(0))).as("n_phones"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Pat), lit(0))).as("n_ipv4"),
+      length(redactPii(col(textCol))).as("redacted_chars"))
+
   /** The raw k-smallest-distinct rolling-gram hashes behind
     * [[fingerprint]], as a per-doc array column — the exploded export of
     * these values is what d08's oracle re-assembles in DuckDB. */

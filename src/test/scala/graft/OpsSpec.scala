@@ -291,6 +291,39 @@ class OpsSpec extends AnyFunSuite {
       }
   }
 
+  test("pii: counts exact, redaction equals java.util.regex on fixtures") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "Reach me at jane.doe@example.org or +358401234567 from 10.1.2.3 today."),
+      (2L, "no pii here at all, just prose with commas"),
+      (3L, "two mails a@b.io and c.d%x@e-f.net plus ip 192.168.0.1 end"),
+      (4L, "not a phone 12345, not an ip 1.2, not a mail foo@bar"))
+    val df = rows.toDF("doc_id", "text")
+    def redact(s: String): String = s
+      .replaceAll(TextStats.EmailPat, "<EMAIL>")
+      .replaceAll(TextStats.PhonePat, "<PHONE>")
+      .replaceAll(TextStats.Ipv4Pat, "<IP>")
+    val got = TextStats.piiStats(df).collect().map(r =>
+      r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got(1L) == ((1, 1, 1, redact(rows(0)._2).length)))
+    assert(got(2L) == ((0, 0, 0, rows(1)._2.length)))
+    assert(got(3L) == ((2, 0, 1, redact(rows(2)._2).length)))
+    // "foo@bar" lacks a dot-TLD; "1.2" is not a dotted quad; "12345" has no +CC
+    assert(got(4L) == ((0, 0, 0, rows(3)._2.length)))
+    // the corpus plants PII that must survive extraction: at least one
+    // finished page carries a redactable email
+    val pages = graft.corpus.CorpusWriter.pagesDs(spark, 300L, partitions = 4)
+    val ex = graft.pipeline.ExtractPipeline.run(pages,
+      graft.pipeline.ExtractPipeline.Config(partitions = 8)).toDF()
+    val pii = TextStats.piiStats(
+      ex.where(org.apache.spark.sql.functions.col("status") === "finished")
+        .select(org.apache.spark.sql.functions.col("url"),
+          org.apache.spark.sql.functions.col("text").cast("string").as("text")),
+      idCol = "url")
+    assert(pii.where(org.apache.spark.sql.functions.col("n_emails") > 0).count() > 0)
+  }
+
   test("fingerprints: k smallest hashes, sorted CSV, stable across runs") {
     // fingerprint is a CSV string (array cols crash the driver comparer)
     val a = TextStats.fingerprint(docs).collect().map(r =>
