@@ -53,7 +53,9 @@ object FuzzSweep {
       jpegSig, "<html><body>".getBytes("ISO-8859-1"),
       "fLaC".getBytes("ISO-8859-1"), "OggS".getBytes("ISO-8859-1"),
       cfbSig, "{\\rtf1\\ansi".getBytes("ISO-8859-1"),
-      Array[Byte]('I', 'I', 0x2a, 0), Array[Byte]('M', 'M', 0, 0x2a))
+      Array[Byte]('I', 'I', 0x2a, 0), Array[Byte]('M', 'M', 0, 0x2a),
+      Array[Byte](0, 0, 0, 0x20, 'f', 't', 'y', 'p', 'h', 'e', 'i', 'c'),
+      "a,b,c\nd,e,f\ng,h,i\n".getBytes("ISO-8859-1"))
     (0 until 5000).foreach { k =>
       val p = prefixes(k % prefixes.length)
       val b = new Array[Byte](p.length + r.nextInt(2048))
@@ -76,7 +78,9 @@ object FuzzSweep {
       LegacyGen.cfb("WordDocument", Array.tabulate[Byte](700)(i => (i * 17).toByte)),
       ZipGen.ods(Seq("cell a", "cell b")),
       ZipGen.epub(Seq("chapter")),
-      PagesGen.page(0).html, PagesGen.page(41).html)
+      PagesGen.page(0).html, PagesGen.page(41).html,
+      PagesGen.page(33).html, // csv category
+      PagesGen.page(475).html) // heif/heic media variant
     (0 until 10000).foreach { k =>
       val src = seeds(k % seeds.length)
       val b = java.util.Arrays.copyOf(src, 1 + r.nextInt(src.length))
