@@ -150,7 +150,7 @@ object Bench {
         val headline = Set("q01_pricing_summary", "q02_topk_revenue",
           "q05_window_topn", "q06_sessionize", "d01_exact_dedup",
           "d02_token_stats", "d05_minhash_pairs", "d07_simhash_pairs",
-          "d10_decontaminate", "d11_repetition", "d12_pii",
+          "d10_decontaminate", "d11_repetition", "d12_pii", "d13_domains",
           "e01_cosine_topk", "e02_ann_lsh", "e04_ann_ivf",
           "x01_extract_status_counts")
         val qt = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -14,10 +14,11 @@ import graft.pipeline.ExtractPipeline
   * Query families (SURVEY.md §2 Table B):
   *  - q01..q10: relational coverage (agg, joins incl. broadcast/semi/anti,
   *    window, rollup, set ops, string/date/array functions, sessionize)
-  *  - d01..d12: training-data text ops (exact dedup, token stats, quality,
-  *    lang-id, MinHash+LSH, brute Jaccard, SimHash, fingerprint, clusters,
-  *    benchmark decontamination, Gopher-style repetition signals, PII
-  *    scrubbing over the extracted corpus)
+  *  - d01..d13: training-data corpus ops (exact dedup, token stats,
+  *    quality, lang-id, MinHash+LSH, brute Jaccard, SimHash, fingerprint,
+  *    clusters, benchmark decontamination, Gopher-style repetition
+  *    signals, PII scrubbing over the extracted corpus, URL/domain
+  *    curation: blocklists + per-domain balancing caps)
   *  - e01..e04: embedding similarity (brute-force cosine top-k, LSH ANN,
   *    brute near-dup pairs, IVF ANN)
   *  - x01..x07: the extraction pipeline itself on the synthetic pages
@@ -30,7 +31,7 @@ import graft.pipeline.ExtractPipeline
   *    ingest path — its counts must equal the parquet path's; x07 the
   *    thumbnail artifact fan-out.
   *
-  * Oracle coverage: 37/38. The only rows-only query is per-doc x02
+  * Oracle coverage: 38/39. The only rows-only query is per-doc x02
   * (golden byte-equality gate + source of x01/x06's oracle exports).
   * d08/m01/m02 are value-checked through per-doc exports; e02's seeded
   * hyperplanes are baked into its oracle SQL as literals (DuckDB
@@ -298,6 +299,16 @@ object SparkEntry {
         .where(col("status") === "finished")
         .select(col("url"), col("text").cast("string").as("text")), "d12text")
       TextStats.piiStats(texts, idCol = "url", textCol = "text")
+    }),
+    "d13_domains" -> ((s, d) => {
+      // URL/domain curation over the crawl METADATA (no payload reads):
+      // per registered domain — doc count, distinct urls, survivors of a
+      // 25-doc-per-domain balancing cap (deterministic earliest-crawl
+      // order), and the blocklist flag. DuckDB re-derives everything from
+      // the same pages parquet with the identical regexes.
+      graft.ops.Urls.domainStats(pages(s, d), urlCol = "url",
+          tsCol = "warc_ts", cap = 25, block = Seq("example-3.test"))
+        .orderBy("domain")
     }),
     // ------------------------------------------------ similarity
     "e01_cosine_topk" -> ((s, d) =>
@@ -664,6 +675,24 @@ object SparkEntry {
         |FROM e x JOIN e y ON x.vec_id < y.vec_id
         |WHERE ROUND(list_cosine_similarity(x.v, y.v), 4) >= 0.45
         |ORDER BY a, b""".stripMargin,
+    // domain curation: DuckDB recomputes registered domains (same RE2-safe
+    // regexes), the per-domain cap via ROW_NUMBER in the same
+    // (warc_ts, url) order, and the blocklist flag from the pages cache
+    "d13_domains" ->
+      s"""WITH p AS (SELECT url, warc_ts,
+         |    regexp_extract(regexp_extract(url, '${graft.ops.Urls.HostPat}', 1),
+         |      '${graft.ops.Urls.DomainPat}', 1) AS domain
+         |  FROM read_parquet('/tmp/graft-pages/${graft.corpus.PagesGen.CorpusVersion}-rows-1000/*.parquet')),
+         |r AS (SELECT domain, url,
+         |        ROW_NUMBER() OVER (PARTITION BY domain ORDER BY warc_ts, url) AS rn
+         |      FROM p),
+         |k AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS kept FROM r
+         |      WHERE rn <= 25 GROUP BY 1)
+         |SELECT p.domain, COUNT(*) AS docs, COUNT(DISTINCT p.url) AS unique_urls,
+         | COALESCE(MAX(k.kept), 0) AS kept_after_cap,
+         | CAST(p.domain IN ('example-3.test') AS INT) AS is_blocked
+         |FROM p LEFT JOIN k USING (domain)
+         |GROUP BY p.domain ORDER BY 1""".stripMargin,
     // PII scrubbing: DuckDB recomputes category counts and the redacted
     // length from the exported extracted text with the SAME patterns
     // (restricted to the java.regex/RE2 common subset) in the same

@@ -291,6 +291,33 @@ class OpsSpec extends AnyFunSuite {
       }
   }
 
+  test("urls: registered domain, blocklist filter, per-domain cap") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.ops.Urls
+    val df = Seq(
+      ("https://a.example.test/x", 1L),
+      ("https://b.example.test/y", 2L),
+      ("https://sub.deep.other.org/z", 3L),
+      ("not a url", 4L)).toDF("url", "ts")
+    val doms = df.select(Urls.registeredDomain(col("url")).as("d"))
+      .collect().map(_.getString(0))
+    assert(doms.toSeq == Seq("example.test", "example.test", "other.org", ""))
+    assert(Urls.filterBlocklist(df, "url", Seq("example.test")).count() == 2)
+    // cap 2 keeps the two EARLIEST (ts) docs of the 3-doc domain
+    val many = Seq(
+      ("https://x.d.com/1", 30L), ("https://x.d.com/2", 10L),
+      ("https://x.d.com/3", 20L), ("https://y.e.com/1", 5L)).toDF("url", "ts")
+    val kept = Urls.capPerDomain(many, "url", "ts", 2)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(kept == Set("https://x.d.com/2", "https://x.d.com/3", "https://y.e.com/1"))
+    val stats = Urls.domainStats(many, "url", "ts", cap = 2,
+      block = Seq("d.com")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(stats("d.com") == ((3L, 3L, 2L, 1)))
+    assert(stats("e.com") == ((1L, 1L, 1L, 0)))
+  }
+
   test("pii: counts exact, redaction equals java.util.regex on fixtures") {
     val spark = TestSpark.spark
     import spark.implicits._
