@@ -303,9 +303,10 @@ object SparkEntry {
     "d13_domains" -> ((s, d) => {
       // URL/domain curation over the crawl METADATA (no payload reads):
       // per registered domain — doc count, distinct urls, survivors of a
-      // 25-doc-per-domain balancing cap (deterministic earliest-crawl
-      // order), and the blocklist flag. DuckDB re-derives everything from
-      // the same pages parquet with the identical regexes.
+      // 25-doc-per-domain balancing cap, the max url of the KEPT set (the
+      // order-sensitive column that makes the earliest-crawl cap ordering
+      // oracle-observable), and the blocklist flag. DuckDB re-derives
+      // everything from the same pages parquet with identical regexes.
       graft.ops.Urls.domainStats(pages(s, d), urlCol = "url",
           tsCol = "warc_ts", cap = 25, block = Seq("example-3.test"))
         .orderBy("domain")
@@ -686,10 +687,13 @@ object SparkEntry {
          |r AS (SELECT domain, url,
          |        ROW_NUMBER() OVER (PARTITION BY domain ORDER BY warc_ts, url) AS rn
          |      FROM p),
-         |k AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS kept FROM r
+         |k AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS kept,
+         |        MIN(url) AS mnk, MAX(url) AS mxk FROM r
          |      WHERE rn <= 25 GROUP BY 1)
          |SELECT p.domain, COUNT(*) AS docs, COUNT(DISTINCT p.url) AS unique_urls,
          | COALESCE(MAX(k.kept), 0) AS kept_after_cap,
+         | COALESCE(MAX(k.mnk), '') AS min_kept_url,
+         | COALESCE(MAX(k.mxk), '') AS max_kept_url,
          | CAST(p.domain IN ('example-3.test') AS INT) AS is_blocked
          |FROM p LEFT JOIN k USING (domain)
          |GROUP BY p.domain ORDER BY 1""".stripMargin,

@@ -20,8 +20,12 @@ object Urls {
 
   /** Host of an absolute URL (`scheme://host[/...]`); empty when the value
     * is not an absolute URL. The regex is restricted to the
-    * java.util.regex/RE2 common subset (shared with the DuckDB oracle). */
-  val HostPat = "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)"
+    * java.util.regex/RE2 common subset (shared with the DuckDB oracle);
+    * whitespace is excluded from the host explicitly — a newline smuggled
+    * into the authority would otherwise make Java's `$` (which matches
+    * before a final line terminator) and RE2's `$` (end of input only)
+    * extract different domains. */
+  val HostPat = "^[A-Za-z][A-Za-z0-9+.-]*://([^/ \\t\\r\\n]+)"
 
   /** Last two dot-labels of the host. */
   val DomainPat = "([^.]+\\.[^.]+)$"
@@ -51,18 +55,29 @@ object Urls {
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") <= cap).drop("_rn")
   }
 
-  /** Per-domain corpus statistics: doc count, distinct urls, and the count
-    * surviving [[capPerDomain]] at `cap`, plus the blocklist flag. */
+  /** Per-domain corpus statistics: doc count, distinct urls, the count
+    * surviving [[capPerDomain]] at `cap`, the lexicographic max url of the
+    * KEPT set, and the blocklist flag.
+    *
+    * `kept_after_cap` alone is identically min(docs, cap) under ANY window
+    * ordering — the min/max urls of the KEPT set are the columns that make
+    * the cap's earliest-crawl ordering observable (a cap keeping a
+    * different subset reports different extrema), so the d13 oracle
+    * genuinely re-checks the ordering, not just the count. */
   def domainStats(df: DataFrame, urlCol: String, tsCol: String, cap: Int,
       block: Seq[String]): DataFrame = {
     val kept = capPerDomain(df, urlCol, tsCol, cap)
       .groupBy(registeredDomain(col(urlCol)).as("domain"))
-      .agg(count(lit(1)).as("kept_after_cap"))
+      .agg(count(lit(1)).as("kept_after_cap"),
+        min(col(urlCol)).as("min_kept_url"),
+        max(col(urlCol)).as("max_kept_url"))
     df.groupBy(registeredDomain(col(urlCol)).as("domain"))
       .agg(count(lit(1)).as("docs"), countDistinct(col(urlCol)).as("unique_urls"))
       .join(kept, Seq("domain"), "left")
       .select(col("domain"), col("docs"), col("unique_urls"),
         coalesce(col("kept_after_cap"), lit(0L)).as("kept_after_cap"),
+        coalesce(col("min_kept_url"), lit("")).as("min_kept_url"),
+        coalesce(col("max_kept_url"), lit("")).as("max_kept_url"),
         col("domain").isin(block: _*).cast("int").as("is_blocked"))
   }
 }

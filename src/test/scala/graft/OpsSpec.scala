@@ -313,9 +313,14 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set("https://x.d.com/2", "https://x.d.com/3", "https://y.e.com/1"))
     val stats = Urls.domainStats(many, "url", "ts", cap = 2,
       block = Seq("d.com")).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
-    assert(stats("d.com") == ((3L, 3L, 2L, 1)))
-    assert(stats("e.com") == ((1L, 1L, 1L, 0)))
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5), r.getInt(6)))).toMap
+    // min_kept_url pins the ORDERING: the earliest-two kept set {/2,/3}
+    // has min /2; a cap keeping the LATEST two ({/1,/3}) would report /1
+    assert(stats("d.com") ==
+      ((3L, 3L, 2L, "https://x.d.com/2", "https://x.d.com/3", 1)))
+    assert(stats("e.com") ==
+      ((1L, 1L, 1L, "https://y.e.com/1", "https://y.e.com/1", 0)))
   }
 
   test("pii: counts exact, redaction equals java.util.regex on fixtures") {
