@@ -85,6 +85,22 @@ object Main {
               .orderBy("status").collect()
               .foreach(r => println(s"[counters] ${r.getString(0)}: docs=${r.getLong(1)} bytes=${r.get(2)}"))
           }
+        case "curate" =>
+          // training-data curation: finished rows -> exact text dedup ->
+          // domain blocklist -> per-domain cap -> PII redaction + counts
+          val opt = args.drop(3).map(_.split("=", 2))
+            .collect { case Array(k, v) => k -> v }.toMap
+          val cap = opt.getOrElse("cap", "1000").toInt
+          val block = opt.get("block")
+            .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+          graft.pipeline.Curate.run(spark, args(1), args(2), cap, block) match {
+            case None =>
+              System.err.println(s"[graft] no committed snapshot under ${args(1)}")
+              sys.exit(2)
+            case Some(r) =>
+              println(s"[graft] curated snapshot ${r.snapshotId}: " +
+                s"kept=${r.kept} (cap=$cap per domain, blocklist=${block.size}) -> ${args(2)}")
+          }
         case "sweep" =>
           val removed = new SnapshotTable(args(1)).sweepOrphans()
           println(s"[graft] swept ${removed.length} orphan dirs: ${removed.mkString(", ")}")
@@ -116,6 +132,7 @@ object Main {
         |                  output-pdf-version=1|2|3   (attachment re-attach policy)
         |                  thumbnails=WxH
         |       graft.Main stream <pagesDir> <outputDir> <checkpointDir>
+        |       graft.Main curate <outputRoot> <curatedDir> [cap=N] [block=dom1,dom2]
         |       graft.Main sweep <outputRoot>
         |       graft.Main compact <outputRoot>""".stripMargin)
 }

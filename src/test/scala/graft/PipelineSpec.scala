@@ -119,6 +119,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(out2 == out)
   }
 
+  test("curate: exact dedup + blocklist on crafted rows") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val crafted = Seq(
+      ("https://a.x.test/2", "finished", "text/plain", 9L, "same text"),
+      ("https://a.x.test/1", "finished", "text/plain", 9L, "same text"),
+      ("https://b.y.test/1", "finished", "text/plain", 10L, "other text"),
+      ("https://c.z.test/1", "finished", "text/plain", 7L, "z words"),
+      ("https://d.x.test/9", "failed", "text/plain", 0L, ""))
+      .toDF("url", "status", "mimeType", "textBytes", "text")
+    val out = graft.pipeline.Curate.curate(crafted, cap = 10, block = Seq("z.test"))
+      .collect().map(_.getString(0)).toSet
+    // dup text: smallest url wins; blocklisted z.test dropped; failed dropped
+    assert(out == Set("https://a.x.test/1", "https://b.y.test/1"))
+  }
+
+  test("curate: end-to-end over a committed snapshot (cap, pii redaction)") {
+    val spark = TestSpark.spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-curate-").toString
+    val pages = CorpusWriter.pagesDs(spark, 300L, partitions = 4)
+    val id = ExtractPipeline.runAndCommit(spark, pages, s"$tmp/out",
+      ExtractPipeline.Config(partitions = 8))
+    assert(id >= 0)
+    val res = graft.pipeline.Curate.run(spark, s"$tmp/out", s"$tmp/curated",
+      cap = 10, block = Seq("example-3.test"))
+    assert(res.exists(_.kept > 0))
+    val cur = spark.read.parquet(s"$tmp/curated")
+    assert(cur.where(col("domain") === "example-3.test").count() == 0)
+    assert(cur.groupBy("domain").count()
+      .agg(max("count")).head().getLong(0) <= 10)
+    // redaction: PII-bearing docs exist and their text carries no email
+    assert(cur.where(col("n_emails") > 0).count() > 0)
+    assert(cur.where(col("text").rlike(graft.ops.TextStats.EmailPat)).count() == 0)
+    assert(cur.where(col("text").rlike(graft.ops.TextStats.PhonePat)).count() == 0)
+  }
+
   test("driver contract: entry() returns rows; every query has a function") {
     val spark = TestSpark.spark
     assert(SparkEntry.entry(spark).count() > 0)
