@@ -87,10 +87,26 @@ object Main {
           }
         case "curate" =>
           // training-data curation: finished rows -> exact text dedup ->
-          // domain blocklist -> per-domain cap -> PII redaction + counts
-          val opt = args.drop(3).map(_.split("=", 2))
-            .collect { case Array(k, v) => k -> v }.toMap
-          val cap = opt.getOrElse("cap", "1000").toInt
+          // domain blocklist -> per-domain cap -> PII redaction + counts.
+          // Options fail fast BEFORE any scan (the extract/JobOptions
+          // contract): unknown keys, non-numeric or non-positive cap, and
+          // positional extras are all hard errors, never silently ignored
+          if (args.length < 3) { usage(); sys.exit(2) }
+          def bad(msg: String): Nothing = {
+            System.err.println(s"[graft] invalid options: $msg"); sys.exit(2)
+          }
+          val opt = args.drop(3).map { a =>
+            a.split("=", 2) match {
+              case Array(k @ ("cap" | "block"), v) => k -> v
+              case Array(k, _) => bad(s"unknown option '$k' (expected cap=, block=)")
+              case _ => bad(s"not a key=value option: '$a'")
+            }
+          }.toMap
+          val cap = opt.get("cap") match {
+            case None => 1000
+            case Some(v) => v.toIntOption.filter(_ > 0)
+              .getOrElse(bad(s"cap must be a positive integer: '$v'"))
+          }
           val block = opt.get("block")
             .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
           graft.pipeline.Curate.run(spark, args(1), args(2), cap, block) match {

@@ -19,12 +19,17 @@ object Dedup {
     * negligible even at 10^12 docs (a bare 64-bit key starts silently
     * merging distinct texts around 10^9). Shuffle rows stay ~24 bytes. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.groupBy(
-        xxhash64(col(textCol)).as("_h1"),
-        xxhash64(lit(0x9e3779b9L), col(textCol)).as("_h2"),
-        length(col(textCol)).as("_len"))
+    docs.groupBy(exactKeyCols(col(textCol)): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .select(col(idCol), col("dup_count"))
+
+  /** The 128-bit exact-text key (two independent 64-bit hashes + length)
+    * shared by [[exact]] and the Curate job — one definition so the
+    * collision argument can never drift between them. */
+  def exactKeyCols(textCol: Column): Seq[Column] = Seq(
+    xxhash64(textCol).as("_h1"),
+    xxhash64(lit(0x9e3779b9L), textCol).as("_h2"),
+    length(textCol).as("_len"))
 
   /** Distinct word n-gram shingles of `textCol` (lowercased). Backed by the
     * native one-pass [[org.apache.spark.sql.graftexpr.WordShingles]]

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{TextStats, Urls}
+import graft.ops.{Dedup, TextStats, Urls}
 import graft.table.SnapshotTable
 
 /** Training-data curation over a committed extraction table — the batch,
@@ -12,14 +12,20 @@ import graft.table.SnapshotTable
   * queries exercise individually (d01 exact dedup, d12 PII scrubbing,
   * d13 domain curation):
   *
-  *   finished rows -> exact text dedup (keep smallest url per identical
-  *   text, 128-bit key) -> domain blocklist -> per-domain cap -> PII
-  *   redaction + per-category counts -> curated parquet.
+  *   finished rows -> exact text dedup (smallest url per identical text,
+  *   the shared 128-bit key of Dedup.exact) -> domain blocklist ->
+  *   per-domain cap -> PII redaction + per-category counts -> parquet.
   *
-  * Plan shape: one hash-window on the 128-bit text key (the dedup), one
-  * window on the domain key (the cap) — two shuffles total; everything
-  * else is narrow. The blocklist is a literal predicate; PII work is
-  * codegen'd regex in the final projection. Single pass, single write.
+  * Plan shape (skew-aware): the dedup never shuffles text payloads — the
+  * winner urls are found on ~24-byte (hash, hash, len) rows (uniform key,
+  * the Dedup.exact shape) and joined back left_semi on the uniform url
+  * key, so a text repeated 10^6 times costs one hot AGGREGATE cell, not a
+  * one-task window sort of 10^6 full-text rows. The domain cap is the one
+  * window (domain key, capped output); the blocklist is a literal
+  * predicate; PII work is codegen'd regex in the final projection. The
+  * domain is computed ONCE as a column and reused by filter, window and
+  * projection. Kept count is captured DURING the write via `observe`
+  * (the SnapshotTable.commit precedent — no re-read of fresh output).
   */
 object Curate {
 
@@ -28,25 +34,26 @@ object Curate {
   /** Curated schema: url, domain, mimeType, textBytes (ORIGINAL length —
     * the quality signal), PII counts, and the REDACTED text. */
   def curate(data: DataFrame, cap: Int, block: Seq[String]): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
     val finished = data.where(col("status") === "finished")
       .select(col("url"), col("mimeType"), col("textBytes"),
-        col("text").cast("string").as("text"))
-    // exact dedup: smallest url wins per identical text; two independent
-    // 64-bit hashes + length = 128+ bits (the d01 collision argument)
-    val w = Window
-      .partitionBy(xxhash64(col("text")),
-        xxhash64(lit(0x9e3779b9L), col("text")), length(col("text")))
-      .orderBy(col("url"))
-    val deduped = finished.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1).drop("_rn")
-    val unblocked = Urls.filterBlocklist(deduped, "url", block)
+        col("text").cast("string").as("text"),
+        Urls.registeredDomain(col("url")).as("domain"))
+    // exact dedup, payloads never shuffled: winners on 24-byte key rows
+    val winners = finished
+      .select((col("url") +: Dedup.exactKeyCols(col("text"))): _*)
+      .groupBy(col("_h1"), col("_h2"), col("_len"))
+      .agg(min(col("url")).as("url"))
+      .select("url")
+    val deduped = finished.join(winners, Seq("url"), "left_semi")
+    val unblocked = deduped.where(!col("domain").isin(block: _*))
     // deterministic cap order: url (extraction output carries no crawl
     // timestamp — the pipeline already kept the latest crawl per url)
-    val capped = Urls.capPerDomain(unblocked, "url", "url", cap)
+    val w = Window.partitionBy(col("domain")).orderBy(col("url"))
+    val capped = unblocked.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= cap).drop("_rn")
     capped.select(
-      col("url"),
-      Urls.registeredDomain(col("url")).as("domain"),
-      col("mimeType"), col("textBytes"),
+      col("url"), col("domain"), col("mimeType"), col("textBytes"),
       size(regexp_extract_all(col("text"), lit(TextStats.EmailPat), lit(0))).as("n_emails"),
       size(regexp_extract_all(col("text"), lit(TextStats.PhonePat), lit(0))).as("n_phones"),
       size(regexp_extract_all(col("text"), lit(TextStats.Ipv4Pat), lit(0))).as("n_ipv4"),
@@ -54,15 +61,21 @@ object Curate {
   }
 
   /** Read the committed snapshot under `outputRoot`, curate, write to
-    * `curatedDir`. Returns the source snapshot id and the kept count. */
+    * `curatedDir`. Returns the source snapshot id (captured BEFORE the
+    * write, so a concurrent commit cannot be misreported as the curated
+    * source) and the kept count. */
   def run(spark: SparkSession, outputRoot: String, curatedDir: String,
       cap: Int, block: Seq[String]): Option[Result] = {
     val table = new SnapshotTable(outputRoot)
-    table.read(spark).flatMap { data =>
-      curate(data, cap, block).write.mode("overwrite").parquet(curatedDir)
-      table.currentSnapshotId.map { id =>
-        Result(id, spark.read.parquet(curatedDir).count())
-      }
+    for {
+      id <- table.currentSnapshotId
+      data <- table.read(spark)
+    } yield {
+      val obs = org.apache.spark.sql.Observation(s"graft-curate-$id")
+      curate(data, cap, block)
+        .observe(obs, count(lit(1)).as("rows"))
+        .write.mode("overwrite").parquet(curatedDir)
+      Result(id, obs.get("rows").asInstanceOf[Long])
     }
   }
 }
