@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints the formatted physical plans of the newest operators (the
+  * PLANS.md evidence loop): curate, d12 pii, d13 domains. Run:
+  *   sbt "runMain graft.tools.PlanAudit [sfDir]"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val pages = graft.corpus.CorpusWriter.pagesDs(spark, 300L, partitions = 4)
+      val extracted = graft.pipeline.ExtractPipeline
+        .run(pages, graft.pipeline.ExtractPipeline.Config(partitions = 4)).toDF()
+      println("==== curate ====")
+      graft.pipeline.Curate.curate(extracted, cap = 25,
+        block = Seq("example-3.test")).explain("formatted")
+      println("==== d12 pii (over finished text) ====")
+      graft.ops.TextStats.piiStats(
+        extracted.where(org.apache.spark.sql.functions.col("status") === "finished")
+          .selectExpr("url", "cast(text as string) as text"),
+        idCol = "url").explain("formatted")
+      println("==== d13 domainStats (pages metadata) ====")
+      graft.ops.Urls.domainStats(pages.toDF(), "url", "warc_ts",
+        cap = 25, block = Seq("example-3.test")).explain("formatted")
+    } finally spark.stop()
+  }
+}
