@@ -699,18 +699,23 @@ object SparkEntry {
          |GROUP BY p.domain ORDER BY 1""".stripMargin,
     // PII scrubbing: DuckDB recomputes category counts and the redacted
     // length from the exported extracted text with the SAME patterns
-    // (restricted to the java.regex/RE2 common subset) in the same
-    // redaction order (emails, phones, IPv4)
+    // (restricted to the java.regex/RE2 common subset) under the same
+    // SEQUENTIAL-REDACTION semantics — phones counted on the
+    // email-masked text, IPs on the email+phone-masked text, so an
+    // email's digits never double-count as a phone/IP (the partition the
+    // engine's fused one-pass PiiScan matcher computes)
     "d12_pii" ->
       s"""SELECT url,
          | len(regexp_extract_all(text, '${graft.ops.TextStats.EmailPat}')) AS n_emails,
-         | len(regexp_extract_all(text, '${graft.ops.TextStats.PhonePat}')) AS n_phones,
-         | len(regexp_extract_all(text, '${graft.ops.TextStats.Ipv4Pat}')) AS n_ipv4,
-         | LENGTH(regexp_replace(regexp_replace(regexp_replace(text,
-         |   '${graft.ops.TextStats.EmailPat}', '<EMAIL>', 'g'),
-         |   '${graft.ops.TextStats.PhonePat}', '<PHONE>', 'g'),
-         |   '${graft.ops.TextStats.Ipv4Pat}', '<IP>', 'g')) AS redacted_chars
-         |FROM read_parquet('$ExportRoot/d12text/*.parquet')
+         | len(regexp_extract_all(r1, '${graft.ops.TextStats.PhonePat}')) AS n_phones,
+         | len(regexp_extract_all(r2, '${graft.ops.TextStats.Ipv4Pat}')) AS n_ipv4,
+         | LENGTH(regexp_replace(r2, '${graft.ops.TextStats.Ipv4Pat}', '<IP>', 'g')) AS redacted_chars
+         |FROM (SELECT url, text,
+         |   regexp_replace(text, '${graft.ops.TextStats.EmailPat}', '<EMAIL>', 'g') AS r1,
+         |   regexp_replace(regexp_replace(text,
+         |     '${graft.ops.TextStats.EmailPat}', '<EMAIL>', 'g'),
+         |     '${graft.ops.TextStats.PhonePat}', '<PHONE>', 'g') AS r2
+         | FROM read_parquet('$ExportRoot/d12text/*.parquet'))
          |ORDER BY url""".stripMargin,
     // sign-LSH ANN: the seeded hyperplanes are a PURE function (no data),
     // so they are baked into the SQL as literals and DuckDB recomputes the

@@ -153,10 +153,11 @@ object TextStats {
   /** Conservative PII patterns, deliberately restricted to syntax both
     * java.util.regex (Spark codegen) and RE2 (the DuckDB oracle) evaluate
     * identically: no word boundaries, no lookaround, no backrefs. ASCII
-    * email, international-format phone (+CC...), dotted-quad IPv4. */
-  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhonePat = "\\+[0-9]{7,15}"
-  val Ipv4Pat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    * email, international-format phone (+CC...), dotted-quad IPv4.
+    * Single source of truth: [[org.apache.spark.sql.graftexpr.PiiScan]]. */
+  val EmailPat: String = org.apache.spark.sql.graftexpr.PiiScan.Email
+  val PhonePat: String = org.apache.spark.sql.graftexpr.PiiScan.Phone
+  val Ipv4Pat: String = org.apache.spark.sql.graftexpr.PiiScan.Ipv4
 
   /** Redact PII in place — emails, then phones, then IPv4, a FIXED order
     * mirrored by the oracle (an email's digits must not be half-eaten by
@@ -171,15 +172,37 @@ object TextStats {
 
   /** Per-document PII signals: per-category match counts plus the length
     * of the redacted text — the standard pre-training scrubbing stage
-    * (mask-or-drop by PII density). Narrow map, codegen'd regex, zero
-    * shuffle: scales like d02/d11. */
+    * (mask-or-drop by PII density). Narrow map, zero shuffle; backed by
+    * the native one-pass [[org.apache.spark.sql.graftexpr.PiiScan]]
+    * expression (ONE alternation matcher instead of the six regex passes
+    * of the reference formulation below — the d11 lesson again). */
   def piiStats(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text"): DataFrame = {
+    val st = org.apache.spark.sql.graftexpr.GraftExpr.pii_scan(col(textCol))
+    docs.select(col(idCol),
+      element_at(st, 1).cast("int").as("n_emails"),
+      element_at(st, 2).cast("int").as("n_phones"),
+      element_at(st, 3).cast("int").as("n_ipv4"),
+      element_at(st, 4).cast("int").as("redacted_chars"))
+  }
+
+  /** Reference multi-pass formulation of [[piiStats]], kept for
+    * cross-checking the fused native expression in tests — and the shape
+    * the DuckDB oracle evaluates. Counts use SEQUENTIAL-REDACTION
+    * semantics (each category counted on the text with the higher-priority
+    * categories already masked): an email's digits are an email, not also
+    * a phone — the same no-double-counting partition the single fused
+    * alternation matcher computes. */
+  private[graft] def piiStatsRef(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val r1 = regexp_replace(col(textCol), EmailPat, "<EMAIL>")
+    val r2 = regexp_replace(r1, PhonePat, "<PHONE>")
     docs.select(col(idCol),
       size(regexp_extract_all(col(textCol), lit(EmailPat), lit(0))).as("n_emails"),
-      size(regexp_extract_all(col(textCol), lit(PhonePat), lit(0))).as("n_phones"),
-      size(regexp_extract_all(col(textCol), lit(Ipv4Pat), lit(0))).as("n_ipv4"),
+      size(regexp_extract_all(r1, lit(PhonePat), lit(0))).as("n_phones"),
+      size(regexp_extract_all(r2, lit(Ipv4Pat), lit(0))).as("n_ipv4"),
       length(redactPii(col(textCol))).as("redacted_chars"))
+  }
 
   /** The raw k-smallest-distinct rolling-gram hashes behind
     * [[fingerprint]], as a per-doc array column — the exploded export of

@@ -52,11 +52,14 @@ object Curate {
     val w = Window.partitionBy(col("domain")).orderBy(col("url"))
     val capped = unblocked.withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= cap).drop("_rn")
+    // counts via the fused one-pass PiiScan; the redacted TEXT still needs
+    // the replace passes (4 regex passes total instead of 6)
+    val st = org.apache.spark.sql.graftexpr.GraftExpr.pii_scan(col("text"))
     capped.select(
       col("url"), col("domain"), col("mimeType"), col("textBytes"),
-      size(regexp_extract_all(col("text"), lit(TextStats.EmailPat), lit(0))).as("n_emails"),
-      size(regexp_extract_all(col("text"), lit(TextStats.PhonePat), lit(0))).as("n_phones"),
-      size(regexp_extract_all(col("text"), lit(TextStats.Ipv4Pat), lit(0))).as("n_ipv4"),
+      element_at(st, 1).cast("int").as("n_emails"),
+      element_at(st, 2).cast("int").as("n_phones"),
+      element_at(st, 3).cast("int").as("n_ipv4"),
       TextStats.redactPii(col("text")).as("text"))
   }
 

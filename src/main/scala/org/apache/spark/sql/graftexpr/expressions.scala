@@ -51,6 +51,11 @@ object GraftExpr {
   def repetition_stats(c: Column): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c)))
 
+  /** One-pass PII scan of a string column:
+    * [n_emails, n_phones, n_ipv4, redacted_chars]. */
+  def pii_scan(c: Column): Column =
+    ExpressionUtils.column(PiiScan(ExpressionUtils.expression(c)))
+
   /** Register SQL-callable names on a session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -399,5 +404,71 @@ object CosineSim {
       i += 1
     }
     dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+}
+
+/** One-pass PII scan: [n_emails, n_phones, n_ipv4, redacted_chars], where
+  * redacted_chars is the CHARACTER length of the text after replacing
+  * each match with <EMAIL>/<PHONE>/<IP>.
+  *
+  * Semantics contract: identical to the three sequential
+  * `regexp_replace`/`regexp_extract_all` passes of `TextStats.redactPii`
+  * (and therefore to the DuckDB oracle), fused into a single alternation
+  * matcher. Equivalence argument: alternatives are tried left-to-right at
+  * each position (email first — the sequential pass priority), matches
+  * never overlap, and the replacement tokens contain no '@', '+' or
+  * digits, so a sequential later pass can neither gain nor lose a match
+  * across a replacement boundary. Cross-checked against the HOF
+  * formulation in OpsSpec on corpus + adversarial boundary fixtures.
+  */
+case class PiiScan(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType)
+  override def prettyName: String = "pii_scan"
+
+  override def nullSafeEval(input: Any): Any =
+    PiiScan.of(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftexpr.PiiScan.of($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PiiScan =
+    copy(child = newChild)
+}
+
+object PiiScan {
+  /** The single source of truth for the PII patterns (TextStats aliases
+    * these; the oracle SQL interpolates them verbatim). Restricted to the
+    * java.util.regex/RE2 common subset. */
+  val Email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Phone = "\\+[0-9]{7,15}"
+  val Ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  // groups: 1=email, 2=phone, 3=ipv4 (ipv4's inner group becomes 4)
+  private val Combined =
+    java.util.regex.Pattern.compile(s"($Email)|($Phone)|($Ipv4)")
+
+  def of(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val m = Combined.matcher(s)
+    var ne = 0L
+    var np = 0L
+    var ni = 0L
+    var matchedUnits = 0L
+    var tokenChars = 0L
+    while (m.find()) {
+      matchedUnits += m.end() - m.start() // ASCII matches: units == chars
+      if (m.start(1) >= 0) { ne += 1; tokenChars += 7 } // <EMAIL>
+      else if (m.start(2) >= 0) { np += 1; tokenChars += 7 } // <PHONE>
+      else { ni += 1; tokenChars += 4 } // <IP>
+    }
+    // total in CHARACTERS (codepoints) — the Spark length()/DuckDB
+    // LENGTH semantics; surrogate pairs count once
+    val total = s.codePointCount(0, s.length).toLong
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Long](ne, np, ni, total - matchedUnits + tokenChars))
   }
 }

@@ -356,6 +356,40 @@ class OpsSpec extends AnyFunSuite {
     assert(pii.where(org.apache.spark.sql.functions.col("n_emails") > 0).count() > 0)
   }
 
+  test("native PiiScan equals the six-pass reference on corpus + edges") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // adversarial boundary fixtures: category overlap, replacement
+    // boundaries, non-BMP chars, empties
+    val edges = Seq(
+      "+123456789@x.example mail-or-phone", // '+' digits then @: email wins
+      "1.2.3.4@x.example ip-or-email", // digits+dots local part: email wins
+      "a@b.cd+3581234567 phone right after an email",
+      "+3581234567a@b.cd digits absorbed into the email local part",
+      "a@b.cd@c.de double at", "a@b.cd1.2.3.4 trailing quad",
+      "🙂 a@b.cd non-BMP before a match", "", " ", "no pii",
+      "999.999.999.999999 oversize quad", "+123456 too-short phone",
+      "x@y.z single-letter tld is not a match")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val corpus = graft.corpus.GenGoldens.dedupedPages(300L).flatMap { p =>
+      val e = graft.extract.Extractor.extract(p.url, p.html)
+      if (e.status == "finished")
+        Some((p.url.hashCode.toLong, new String(e.text, java.nio.charset.StandardCharsets.UTF_8)))
+      else None
+    }
+    val df = (edges ++ corpus).toDF("doc_id", "text")
+    val native = TextStats.piiStats(df).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val ref = TextStats.piiStatsRef(df).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(native.keySet == ref.keySet)
+    ref.foreach { case (k, v) =>
+      assert(native(k) == v, s"doc $k: native ${native(k)} != ref $v")
+    }
+    assert(native.values.exists(v => v.head.asInstanceOf[Int] > 0),
+      "corpus must contain pii-bearing docs")
+  }
+
   test("fingerprints: k smallest hashes, sorted CSV, stable across runs") {
     // fingerprint is a CSV string (array cols crash the driver comparer)
     val a = TextStats.fingerprint(docs).collect().map(r =>
