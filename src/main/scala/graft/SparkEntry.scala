@@ -709,13 +709,15 @@ object SparkEntry {
          | len(regexp_extract_all(text, '${graft.ops.TextStats.EmailPat}')) AS n_emails,
          | len(regexp_extract_all(r1, '${graft.ops.TextStats.PhonePat}')) AS n_phones,
          | len(regexp_extract_all(r2, '${graft.ops.TextStats.Ipv4Pat}')) AS n_ipv4,
-         | LENGTH(regexp_replace(r2, '${graft.ops.TextStats.Ipv4Pat}', '<IP>', 'g')) AS redacted_chars
-         |FROM (SELECT url, text,
-         |   regexp_replace(text, '${graft.ops.TextStats.EmailPat}', '<EMAIL>', 'g') AS r1,
-         |   regexp_replace(regexp_replace(text,
-         |     '${graft.ops.TextStats.EmailPat}', '<EMAIL>', 'g'),
-         |     '${graft.ops.TextStats.PhonePat}', '<PHONE>', 'g') AS r2
-         | FROM read_parquet('$ExportRoot/d12text/*.parquet'))
+         | LENGTH(regexp_replace(r2, '${graft.ops.TextStats.Ipv4Pat}',
+         |   '${org.apache.spark.sql.graftexpr.PiiScan.IpToken}', 'g')) AS redacted_chars
+         |FROM (SELECT url, text, r1,
+         |   regexp_replace(r1, '${graft.ops.TextStats.PhonePat}',
+         |     '${org.apache.spark.sql.graftexpr.PiiScan.PhoneToken}', 'g') AS r2
+         | FROM (SELECT url, text,
+         |    regexp_replace(text, '${graft.ops.TextStats.EmailPat}',
+         |      '${org.apache.spark.sql.graftexpr.PiiScan.EmailToken}', 'g') AS r1
+         |  FROM read_parquet('$ExportRoot/d12text/*.parquet')))
          |ORDER BY url""".stripMargin,
     // sign-LSH ANN: the seeded hyperplanes are a PURE function (no data),
     // so they are baked into the SQL as literals and DuckDB recomputes the

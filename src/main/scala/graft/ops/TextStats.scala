@@ -163,12 +163,14 @@ object TextStats {
     * mirrored by the oracle (an email's digits must not be half-eaten by
     * the phone pass). The masked text is the pipeline transform; the
     * counts in [[piiStats]] are the drop/keep filter signals. */
-  def redactPii(textCol: Column): Column =
+  def redactPii(textCol: Column): Column = {
+    import org.apache.spark.sql.graftexpr.PiiScan
     regexp_replace(
       regexp_replace(
-        regexp_replace(textCol, EmailPat, "<EMAIL>"),
-        PhonePat, "<PHONE>"),
-      Ipv4Pat, "<IP>")
+        regexp_replace(textCol, EmailPat, PiiScan.EmailToken),
+        PhonePat, PiiScan.PhoneToken),
+      Ipv4Pat, PiiScan.IpToken)
+  }
 
   /** Per-document PII signals: per-category match counts plus the length
     * of the redacted text — the standard pre-training scrubbing stage
@@ -195,8 +197,10 @@ object TextStats {
     * alternation matcher computes. */
   private[graft] def piiStatsRef(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val r1 = regexp_replace(col(textCol), EmailPat, "<EMAIL>")
-    val r2 = regexp_replace(r1, PhonePat, "<PHONE>")
+    val r1 = regexp_replace(col(textCol), EmailPat,
+      org.apache.spark.sql.graftexpr.PiiScan.EmailToken)
+    val r2 = regexp_replace(r1, PhonePat,
+      org.apache.spark.sql.graftexpr.PiiScan.PhoneToken)
     docs.select(col(idCol),
       size(regexp_extract_all(col(textCol), lit(EmailPat), lit(0))).as("n_emails"),
       size(regexp_extract_all(r1, lit(PhonePat), lit(0))).as("n_phones"),

@@ -447,6 +447,12 @@ object PiiScan {
   val Phone = "\\+[0-9]{7,15}"
   val Ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
+  /** Replacement tokens — shared with TextStats.redactPii and the d12
+    * oracle SQL so the redacted-length arithmetic can never drift. */
+  val EmailToken = "<EMAIL>"
+  val PhoneToken = "<PHONE>"
+  val IpToken = "<IP>"
+
   // groups: 1=email, 2=phone, 3=ipv4 (ipv4's inner group becomes 4)
   private val Combined =
     java.util.regex.Pattern.compile(s"($Email)|($Phone)|($Ipv4)")
@@ -461,9 +467,9 @@ object PiiScan {
     var tokenChars = 0L
     while (m.find()) {
       matchedUnits += m.end() - m.start() // ASCII matches: units == chars
-      if (m.start(1) >= 0) { ne += 1; tokenChars += 7 } // <EMAIL>
-      else if (m.start(2) >= 0) { np += 1; tokenChars += 7 } // <PHONE>
-      else { ni += 1; tokenChars += 4 } // <IP>
+      if (m.start(1) >= 0) { ne += 1; tokenChars += EmailToken.length }
+      else if (m.start(2) >= 0) { np += 1; tokenChars += PhoneToken.length }
+      else { ni += 1; tokenChars += IpToken.length }
     }
     // total in CHARACTERS (codepoints) — the Spark length()/DuckDB
     // LENGTH semantics; surrogate pairs count once

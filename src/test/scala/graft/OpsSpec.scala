@@ -371,11 +371,16 @@ class OpsSpec extends AnyFunSuite {
       "999.999.999.999999 oversize quad", "+123456 too-short phone",
       "x@y.z single-letter tld is not a match")
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
-    val corpus = graft.corpus.GenGoldens.dedupedPages(300L).flatMap { p =>
+    val corpusTexts = graft.corpus.GenGoldens.dedupedPages(300L).flatMap { p =>
       val e = graft.extract.Extractor.extract(p.url, p.html)
       if (e.status == "finished")
-        Some((p.url.hashCode.toLong, new String(e.text, java.nio.charset.StandardCharsets.UTF_8)))
+        Some(new String(e.text, java.nio.charset.StandardCharsets.UTF_8))
       else None
+    }
+    // unique sequential ids (url.hashCode could collide and silently
+    // drop rows from the comparison)
+    val corpus = corpusTexts.zipWithIndex.map { case (t, i) =>
+      ((edges.length + i).toLong, t)
     }
     val df = (edges ++ corpus).toDF("doc_id", "text")
     val native = TextStats.piiStats(df).collect()
