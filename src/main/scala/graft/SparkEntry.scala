@@ -14,11 +14,12 @@ import graft.pipeline.ExtractPipeline
   * Query families (SURVEY.md §2 Table B):
   *  - q01..q10: relational coverage (agg, joins incl. broadcast/semi/anti,
   *    window, rollup, set ops, string/date/array functions, sessionize)
-  *  - d01..d13: training-data corpus ops (exact dedup, token stats,
+  *  - d01..d14: training-data corpus ops (exact dedup, token stats,
   *    quality, lang-id, MinHash+LSH, brute Jaccard, SimHash, fingerprint,
   *    clusters, benchmark decontamination, Gopher-style repetition
   *    signals, PII scrubbing over the extracted corpus, URL/domain
-  *    curation: blocklists + per-domain balancing caps)
+  *    curation: blocklists + per-domain balancing caps, passage-level
+  *    repeated-paragraph dedup)
   *  - e01..e04: embedding similarity (brute-force cosine top-k, LSH ANN,
   *    brute near-dup pairs, IVF ANN)
   *  - x01..x07: the extraction pipeline itself on the synthetic pages
@@ -31,7 +32,7 @@ import graft.pipeline.ExtractPipeline
   *    ingest path — its counts must equal the parquet path's; x07 the
   *    thumbnail artifact fan-out.
   *
-  * Oracle coverage: 38/39. The only rows-only query is per-doc x02
+  * Oracle coverage: 39/40. The only rows-only query is per-doc x02
   * (golden byte-equality gate + source of x01/x06's oracle exports).
   * d08/m01/m02 are value-checked through per-doc exports; e02's seeded
   * hyperplanes are baked into its oracle SQL as literals (DuckDB
@@ -299,6 +300,20 @@ object SparkEntry {
         .where(col("status") === "finished")
         .select(col("url"), col("text").cast("string").as("text")), "d12text")
       TextStats.piiStats(texts, idCol = "url", textCol = "text")
+    }),
+    "d14_para_dedup" -> ((s, d) => {
+      // passage-granularity dedup (FineWeb-style line-level dedup): strip
+      // paragraphs occurring in >2 distinct extracted docs (the corpus
+      // plants fixed in-article disclaimers that page-level boilerplate
+      // removal correctly keeps). The extracted texts are exported and
+      // DuckDB independently re-derives hot paragraphs, removal AND the
+      // reassembled per-doc text — full-string compared.
+      val out = ExtractPipeline.run(pages(s, d), ExtractPipeline.Config(partitions = 32))
+      val texts = exportAndRead(out.toDF()
+        .where(col("status") === "finished")
+        .select(col("url"), col("text").cast("string").as("text")), "d14text")
+      Dedup.stripRepeatedParagraphs(texts, idCol = "url", textCol = "text",
+        maxDocs = 2)
     }),
     "d13_domains" -> ((s, d) => {
       // URL/domain curation over the crawl METADATA (no payload reads):
@@ -676,6 +691,25 @@ object SparkEntry {
         |FROM e x JOIN e y ON x.vec_id < y.vec_id
         |WHERE ROUND(list_cosine_similarity(x.v, y.v), 4) >= 0.45
         |ORDER BY a, b""".stripMargin,
+    // passage dedup: DuckDB re-derives hot paragraphs (>2 distinct docs),
+    // strips them, and reassembles each doc's text in paragraph order
+    // (string_agg ORDER BY pos) — compared full-string against the
+    // engine's reassembly. Paired unnests zip positionally in DuckDB.
+    "d14_para_dedup" ->
+      s"""WITH t AS (SELECT url, text FROM read_parquet('$ExportRoot/d14text/*.parquet')),
+         |p AS (SELECT url, unnest(ls) AS para,
+         |        unnest(range(1, len(ls) + 1)) AS pos
+         |      FROM (SELECT url, string_split(text, chr(10)) AS ls FROM t)),
+         |hot AS (SELECT para FROM (SELECT para, COUNT(DISTINCT url) AS nd
+         |      FROM p GROUP BY 1) WHERE nd > 2),
+         |kept AS (SELECT * FROM p ANTI JOIN hot USING (para)),
+         |rebuilt AS (SELECT url, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |        string_agg(para, chr(10) ORDER BY pos) AS text
+         |      FROM kept GROUP BY url)
+         |SELECT t.url, len(string_split(t.text, chr(10))) AS n_paras,
+         | COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.text, '') AS text
+         |FROM t LEFT JOIN rebuilt r ON t.url = r.url
+         |ORDER BY t.url""".stripMargin,
     // domain curation: DuckDB recomputes registered domains (same RE2-safe
     // regexes), the per-domain cap via ROW_NUMBER in the same
     // (warc_ts, url) order, and the blocklist flag from the pages cache

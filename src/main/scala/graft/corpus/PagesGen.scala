@@ -57,8 +57,11 @@ object PagesGen {
     * c9: ~15% of html-clean article paragraphs carry a planted PII
     * sentence (ASCII email, +CC phone, dotted-quad IP) inline so the d12
     * scrubbing op is corpus-exercised on text that survives boilerplate
-    * removal. */
-  val CorpusVersion = "c9"
+    * removal.
+    * c10: ~20% of html-clean pages append one of four FIXED disclaimer
+    * paragraphs inside the article (repeated-boilerplate that page-level
+    * extraction keeps — the d14 passage-dedup target). */
+  val CorpusVersion = "c10"
 
   // fixed multilingual word pools (fi / sv / en flavor for `lang` variety)
   private val WordsEn = Array(
@@ -314,15 +317,26 @@ object PagesGen {
     s"Contact $u.$u2@$dom.example, tel $phone, host $ip."
   }
 
+  /** FIXED cross-page disclaimer paragraphs: in-article boilerplate that
+    * page-level extraction correctly keeps (normal length, no links) —
+    * exactly what passage-level dedup (d14) exists to remove. */
+  val Disclaimers: Array[String] = Array(
+    "All content on this site is provided for general information purposes only and may change without notice.",
+    "Subscribe to our newsletter to receive weekly updates and service announcements from the editorial team.",
+    "This article is licensed for personal reading and may not be redistributed without prior written permission.",
+    "Comments are moderated and will appear after review by the site administrators during normal office hours.")
+
   def htmlClean(r: Rng, lang: String, paras: Int): Array[Byte] = {
     val title = sentence(r, lang)
     val heading = sentence(r, lang)
-    val body = (0 until paras)
+    val bodyParas = (0 until paras)
       .map { _ =>
         val base = paragraph(r, lang, 2 + r.nextInt(4))
         val text = if (r.nextBool(0.15)) base + " " + piiSentence(r) else base
         s"<p>$text</p>"
-      }.mkString("\n")
+      } ++
+      (if (r.nextBool(0.2)) Seq(s"<p>${Disclaimers(r.nextInt(4))}</p>") else Nil)
+    val body = bodyParas.mkString("\n")
     val html =
       s"""<!DOCTYPE html>
          |<html lang="$lang"><head><meta charset="utf-8"><title>$title</title></head>

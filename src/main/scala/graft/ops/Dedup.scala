@@ -241,6 +241,45 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Repeated-paragraph removal — passage-granularity dedup (the
+    * RefinedWeb/FineWeb "line-level dedup" stage): a paragraph occurring
+    * in more than `maxDocs` DISTINCT documents is boilerplate that
+    * page-level extraction missed (cookie banners, disclaimers, CTA
+    * text), and is stripped from every document; the per-document text is
+    * reassembled in original paragraph order.
+    *
+    * Scale shape: paragraph occurrences travel as the 128-bit exact-text
+    * key (~24-byte shuffle rows, never paragraph strings) through a
+    * distinct-doc count; the HOT key set is tiny at any corpus size (hot
+    * paragraphs ARE the repeated boilerplate) so the removal join
+    * broadcasts, and reassembly shuffles each doc's kept (pos, para) rows
+    * once on the uniform doc key.
+    * Returns (id, n_paras, n_kept, text). */
+  def stripRepeatedParagraphs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxDocs: Int = 2): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1: $maxDocs")
+    val paras = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "para")))
+    val keyed = paras.select(
+      Seq(col("id"), col("pos"), col("para")) ++ exactKeyCols(col("para")): _*)
+    val hot = keyed.groupBy(col("_h1"), col("_h2"), col("_len"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .where(col("nd") > maxDocs)
+      .select("_h1", "_h2", "_len")
+    val kept = keyed.join(broadcast(hot), Seq("_h1", "_h2", "_len"), "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            s => s.getField("para"))).as("text"))
+    docs.select(col(idCol).as("id"),
+        size(split(col(textCol), "\n")).as("n_paras"))
+      .join(rebuilt, Seq("id"), "left") // a doc of ONLY hot paras -> empty
+      .select(col("id").as(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** SimHash (Charikar 2002): 64-bit signature where bit j is the sign of
     * the sum over tokens of (bit j of token hash ? +1 : -1). Docs within a
     * small Hamming distance are near-dups. Backed by the native Catalyst

@@ -291,6 +291,39 @@ class OpsSpec extends AnyFunSuite {
       }
   }
 
+  test("passage dedup: hot paragraphs stripped, order preserved, threshold exact") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val hot = "repeated disclaimer line"
+    val crafted = Seq(
+      (1L, s"alpha one\n$hot\nbeta two"),
+      (2L, s"$hot\ngamma three"),
+      (3L, s"delta four\n$hot"),
+      (4L, hot), // a doc of ONLY the hot para -> empty text, n_kept 0
+      (5L, "unique solo")).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedParagraphs(crafted, maxDocs = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3, 2L, "alpha one\nbeta two")))
+    assert(out(2L) == ((2, 1L, "gamma three")))
+    assert(out(3L) == ((2, 1L, "delta four")))
+    assert(out(4L) == ((1, 0L, "")))
+    assert(out(5L) == ((1, 1L, "unique solo")))
+    // a paragraph in exactly maxDocs docs is KEPT (strictly-greater rule)
+    val two = Seq((1L, "x\nshared"), (2L, "shared\ny")).toDF("doc_id", "text")
+    val keep = Dedup.stripRepeatedParagraphs(two, maxDocs = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(keep(1L) == "x\nshared" && keep(2L) == "shared\ny")
+    // the corpus disclaimers survive extraction AND get stripped
+    val pages = graft.corpus.CorpusWriter.pagesDs(spark, 300L, partitions = 4)
+    val ex = graft.pipeline.ExtractPipeline.run(pages,
+      graft.pipeline.ExtractPipeline.Config(partitions = 8)).toDF()
+      .where(col("status") === "finished")
+      .select(col("url"), col("text").cast("string").as("text"))
+    val res = Dedup.stripRepeatedParagraphs(ex, idCol = "url", textCol = "text")
+    assert(res.where(col("n_kept") < col("n_paras")).count() > 0,
+      "planted disclaimers must be corpus-present and stripped")
+  }
+
   test("urls: registered domain, blocklist filter, per-domain cap") {
     val spark = TestSpark.spark
     import spark.implicits._
