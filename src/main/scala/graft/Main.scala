@@ -97,19 +97,23 @@ object Main {
           }
           val opt = args.drop(3).map { a =>
             a.split("=", 2) match {
-              case Array(k @ ("cap" | "block"), v) => k -> v
-              case Array(k, _) => bad(s"unknown option '$k' (expected cap=, block=)")
+              case Array(k @ ("cap" | "block" | "para-dedup"), v) => k -> v
+              case Array(k, _) =>
+                bad(s"unknown option '$k' (expected cap=, block=, para-dedup=)")
               case _ => bad(s"not a key=value option: '$a'")
             }
           }.toMap
-          val cap = opt.get("cap") match {
-            case None => 1000
+          def posInt(key: String, default: Int): Int = opt.get(key) match {
+            case None => default
             case Some(v) => v.toIntOption.filter(_ > 0)
-              .getOrElse(bad(s"cap must be a positive integer: '$v'"))
+              .getOrElse(bad(s"$key must be a positive integer: '$v'"))
           }
+          val cap = posInt("cap", 1000)
+          val paraMaxDocs = posInt("para-dedup", 0) // 0 = stage disabled
           val block = opt.get("block")
             .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-          graft.pipeline.Curate.run(spark, args(1), args(2), cap, block) match {
+          graft.pipeline.Curate.run(spark, args(1), args(2), cap, block,
+            paraMaxDocs) match {
             case None =>
               System.err.println(s"[graft] no committed snapshot under ${args(1)}")
               sys.exit(2)
@@ -148,7 +152,7 @@ object Main {
         |                  output-pdf-version=1|2|3   (attachment re-attach policy)
         |                  thumbnails=WxH
         |       graft.Main stream <pagesDir> <outputDir> <checkpointDir>
-        |       graft.Main curate <outputRoot> <curatedDir> [cap=N] [block=dom1,dom2]
+        |       graft.Main curate <outputRoot> <curatedDir> [cap=N] [block=dom1,dom2] [para-dedup=N]
         |       graft.Main sweep <outputRoot>
         |       graft.Main compact <outputRoot>""".stripMargin)
 }

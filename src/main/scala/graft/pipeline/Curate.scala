@@ -32,13 +32,25 @@ object Curate {
   case class Result(snapshotId: Long, kept: Long)
 
   /** Curated schema: url, domain, mimeType, textBytes (ORIGINAL length —
-    * the quality signal), PII counts, and the REDACTED text. */
-  def curate(data: DataFrame, cap: Int, block: Seq[String]): DataFrame = {
+    * the quality signal), PII counts, and the REDACTED text.
+    * `paraMaxDocs > 0` enables the passage-dedup stage FIRST (paragraphs
+    * in more than that many docs are stripped): running it before the
+    * exact dedup is the real pipeline order — texts differing only in
+    * shared boilerplate collapse into one exact-dup group. */
+  def curate(data: DataFrame, cap: Int, block: Seq[String],
+      paraMaxDocs: Int = 0): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
-    val finished = data.where(col("status") === "finished")
+    val raw = data.where(col("status") === "finished")
       .select(col("url"), col("mimeType"), col("textBytes"),
         col("text").cast("string").as("text"),
         Urls.registeredDomain(col("url")).as("domain"))
+    val finished =
+      if (paraMaxDocs <= 0) raw
+      else raw.drop("text").join(
+        Dedup.stripRepeatedParagraphs(raw.select(col("url"), col("text")),
+            idCol = "url", textCol = "text", maxDocs = paraMaxDocs)
+          .select(col("url"), col("text")),
+        Seq("url"))
     // exact dedup, payloads never shuffled: winners on 24-byte key rows
     val winners = finished
       .select((col("url") +: Dedup.exactKeyCols(col("text"))): _*)
@@ -68,14 +80,14 @@ object Curate {
     * write, so a concurrent commit cannot be misreported as the curated
     * source) and the kept count. */
   def run(spark: SparkSession, outputRoot: String, curatedDir: String,
-      cap: Int, block: Seq[String]): Option[Result] = {
+      cap: Int, block: Seq[String], paraMaxDocs: Int = 0): Option[Result] = {
     val table = new SnapshotTable(outputRoot)
     for {
       id <- table.currentSnapshotId
       data <- table.read(spark)
     } yield {
       val obs = org.apache.spark.sql.Observation(s"graft-curate-$id")
-      curate(data, cap, block)
+      curate(data, cap, block, paraMaxDocs)
         .observe(obs, count(lit(1)).as("rows"))
         .write.mode("overwrite").parquet(curatedDir)
       Result(id, obs.get("rows").asInstanceOf[Long])

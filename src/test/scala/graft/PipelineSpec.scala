@@ -143,7 +143,7 @@ class PipelineSpec extends AnyFunSuite {
       ExtractPipeline.Config(partitions = 8))
     assert(id >= 0)
     val res = graft.pipeline.Curate.run(spark, s"$tmp/out", s"$tmp/curated",
-      cap = 10, block = Seq("example-3.test"))
+      cap = 10, block = Seq("example-3.test"), paraMaxDocs = 2)
     assert(res.exists(_.kept > 0))
     val cur = spark.read.parquet(s"$tmp/curated")
     assert(cur.where(col("domain") === "example-3.test").count() == 0)
@@ -153,6 +153,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(cur.where(col("n_emails") > 0).count() > 0)
     assert(cur.where(col("text").rlike(graft.ops.TextStats.EmailPat)).count() == 0)
     assert(cur.where(col("text").rlike(graft.ops.TextStats.PhonePat)).count() == 0)
+    // the para-dedup stage stripped the planted cross-page disclaimers
+    graft.corpus.PagesGen.Disclaimers.foreach { d =>
+      assert(cur.where(col("text").contains(d)).count() == 0, d.take(30))
+    }
   }
 
   test("driver contract: entry() returns rows; every query has a function") {
