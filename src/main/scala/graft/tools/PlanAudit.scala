@@ -31,6 +31,11 @@ object PlanAudit {
       println("==== d13 domainStats (pages metadata) ====")
       graft.ops.Urls.domainStats(pages.toDF(), "url", "warc_ts",
         cap = 25, block = Seq("example-3.test")).explain("formatted")
+      println("==== d14 passage dedup (over finished text) ====")
+      graft.ops.Dedup.stripRepeatedParagraphs(
+        extracted.where(org.apache.spark.sql.functions.col("status") === "finished")
+          .selectExpr("url", "cast(text as string) as text"),
+        idCol = "url", textCol = "text").explain("formatted")
     } finally spark.stop()
   }
 }
