@@ -103,13 +103,15 @@ object Main {
               case _ => bad(s"not a key=value option: '$a'")
             }
           }.toMap
-          def posInt(key: String, default: Int): Int = opt.get(key) match {
-            case None => default
-            case Some(v) => v.toIntOption.filter(_ > 0)
-              .getOrElse(bad(s"$key must be a positive integer: '$v'"))
-          }
-          val cap = posInt("cap", 1000)
-          val paraMaxDocs = posInt("para-dedup", 0) // 0 = stage disabled
+          def intOpt(key: String, default: Int, min: Int): Int =
+            opt.get(key) match {
+              case None => default
+              case Some(v) => v.toIntOption.filter(_ >= min)
+                .getOrElse(bad(s"$key must be an integer >= $min: '$v'"))
+            }
+          val cap = intOpt("cap", 1000, min = 1)
+          // 0 = stage disabled (and explicitly statable on the CLI)
+          val paraMaxDocs = intOpt("para-dedup", 0, min = 0)
           val block = opt.get("block")
             .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
           graft.pipeline.Curate.run(spark, args(1), args(2), cap, block,

@@ -701,7 +701,7 @@ object SparkEntry {
          |        unnest(range(1, len(ls) + 1)) AS pos
          |      FROM (SELECT url, string_split(text, chr(10)) AS ls FROM t)),
          |hot AS (SELECT para FROM (SELECT para, COUNT(DISTINCT url) AS nd
-         |      FROM p GROUP BY 1) WHERE nd > 2),
+         |      FROM p WHERE para <> '' GROUP BY 1) WHERE nd > 2),
          |kept AS (SELECT * FROM p ANTI JOIN hot USING (para)),
          |rebuilt AS (SELECT url, CAST(COUNT(*) AS BIGINT) AS n_kept,
          |        string_agg(para, chr(10) ORDER BY pos) AS text

@@ -254,6 +254,17 @@ object Dedup {
     * paragraphs ARE the repeated boilerplate) so the removal join
     * broadcasts, and reassembly shuffles each doc's kept (pos, para) rows
     * once on the uniform doc key.
+    *
+    * PRECONDITION at scale (same as [[minhashPairs]]): run [[exact]]
+    * document dedup FIRST. On a corpus where whole texts repeat across
+    * many ids, EVERY paragraph of a mirrored article is "repeated" — all
+    * copies would be annihilated to empty text instead of one winner
+    * surviving, and the hot set would grow with the duplicated fraction
+    * rather than staying boilerplate-sized.
+    *
+    * Empty paragraphs (blank-line separators) are EXEMPT from the hot
+    * count: blank lines repeat in any multi-paragraph corpus and removing
+    * them would silently reflow paragraph boundaries corpus-wide.
     * Returns (id, n_paras, n_kept, text). */
   def stripRepeatedParagraphs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxDocs: Int = 2): DataFrame = {
@@ -262,7 +273,8 @@ object Dedup {
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "para")))
     val keyed = paras.select(
       Seq(col("id"), col("pos"), col("para")) ++ exactKeyCols(col("para")): _*)
-    val hot = keyed.groupBy(col("_h1"), col("_h2"), col("_len"))
+    val hot = keyed.where(col("_len") > 0)
+      .groupBy(col("_h1"), col("_h2"), col("_len"))
       .agg(countDistinct(col("id")).as("nd"))
       .where(col("nd") > maxDocs)
       .select("_h1", "_h2", "_len")

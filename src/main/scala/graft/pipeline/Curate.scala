@@ -33,24 +33,19 @@ object Curate {
 
   /** Curated schema: url, domain, mimeType, textBytes (ORIGINAL length —
     * the quality signal), PII counts, and the REDACTED text.
-    * `paraMaxDocs > 0` enables the passage-dedup stage FIRST (paragraphs
-    * in more than that many docs are stripped): running it before the
-    * exact dedup is the real pipeline order — texts differing only in
-    * shared boilerplate collapse into one exact-dup group. */
+    * `paraMaxDocs > 0` enables the passage-dedup stage AFTER the exact
+    * dedup — the ordering stripRepeatedParagraphs requires: on a corpus
+    * where whole articles are mirrored across many urls, running passage
+    * dedup first would mark EVERY paragraph of a mirrored article hot and
+    * annihilate all copies to empty text (and blow the hot-set broadcast)
+    * instead of letting one representative survive. */
   def curate(data: DataFrame, cap: Int, block: Seq[String],
       paraMaxDocs: Int = 0): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
-    val raw = data.where(col("status") === "finished")
+    val finished = data.where(col("status") === "finished")
       .select(col("url"), col("mimeType"), col("textBytes"),
         col("text").cast("string").as("text"),
         Urls.registeredDomain(col("url")).as("domain"))
-    val finished =
-      if (paraMaxDocs <= 0) raw
-      else raw.drop("text").join(
-        Dedup.stripRepeatedParagraphs(raw.select(col("url"), col("text")),
-            idCol = "url", textCol = "text", maxDocs = paraMaxDocs)
-          .select(col("url"), col("text")),
-        Seq("url"))
     // exact dedup, payloads never shuffled: winners on 24-byte key rows
     val winners = finished
       .select((col("url") +: Dedup.exactKeyCols(col("text"))): _*)
@@ -58,7 +53,15 @@ object Curate {
       .agg(min(col("url")).as("url"))
       .select("url")
     val deduped = finished.join(winners, Seq("url"), "left_semi")
-    val unblocked = deduped.where(!col("domain").isin(block: _*))
+    // passage dedup over the REPRESENTATIVES only
+    val stripped =
+      if (paraMaxDocs <= 0) deduped
+      else deduped.drop("text").join(
+        Dedup.stripRepeatedParagraphs(deduped.select(col("url"), col("text")),
+            idCol = "url", textCol = "text", maxDocs = paraMaxDocs)
+          .select(col("url"), col("text")),
+        Seq("url"))
+    val unblocked = stripped.where(!col("domain").isin(block: _*))
     // deterministic cap order: url (extraction output carries no crawl
     // timestamp — the pipeline already kept the latest crawl per url)
     val w = Window.partitionBy(col("domain")).orderBy(col("url"))

@@ -313,6 +313,13 @@ class OpsSpec extends AnyFunSuite {
     val keep = Dedup.stripRepeatedParagraphs(two, maxDocs = 2).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(keep(1L) == "x\nshared" && keep(2L) == "shared\ny")
+    // blank-line separators are EXEMPT: repeating in 3 docs must not get
+    // them stripped (that would reflow paragraph boundaries corpus-wide)
+    val blanks = Seq((1L, "a\n\nb"), (2L, "c\n\nd"), (3L, "e\n\nf"))
+      .toDF("doc_id", "text")
+    val kept2 = Dedup.stripRepeatedParagraphs(blanks, maxDocs = 2).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(kept2 == Map(1L -> "a\n\nb", 2L -> "c\n\nd", 3L -> "e\n\nf"))
     // the corpus disclaimers survive extraction AND get stripped
     val pages = graft.corpus.CorpusWriter.pagesDs(spark, 300L, partitions = 4)
     val ex = graft.pipeline.ExtractPipeline.run(pages,
