@@ -95,14 +95,19 @@ object Main {
           def bad(msg: String): Nothing = {
             System.err.println(s"[graft] invalid options: $msg"); sys.exit(2)
           }
-          val opt = args.drop(3).map { a =>
+          val optPairs = args.drop(3).map { a =>
             a.split("=", 2) match {
               case Array(k @ ("cap" | "block" | "para-dedup"), v) => k -> v
               case Array(k, _) =>
                 bad(s"unknown option '$k' (expected cap=, block=, para-dedup=)")
               case _ => bad(s"not a key=value option: '$a'")
             }
-          }.toMap
+          }
+          // a repeated key must fail, not silently keep the last value —
+          // the strict-options contract ('never silently ignored')
+          optPairs.groupBy(_._1).collect { case (k, vs) if vs.length > 1 => k }
+            .toSeq.sorted.foreach(k => bad(s"option '$k' given more than once"))
+          val opt = optPairs.toMap
           def intOpt(key: String, default: Int, min: Int): Int =
             opt.get(key) match {
               case None => default

@@ -57,6 +57,14 @@ object SparkEntry {
   private val ExportRoot =
     s"/tmp/graft-verify-export-${graft.corpus.PagesGen.CorpusVersion}"
 
+  /** Pages-cache path PINNED to the driver's Verify scale (sf0.01 -> 1000
+    * rows, the same sf-to-rows formula as [[pages]]) — the ONE constant the
+    * x03/d13 oracle SQL reads; the cache is materialized by the same Verify
+    * run. Running Verify at another sf would compare against a different
+    * corpus instance — keep the pin and the formula together. */
+  private val VerifyPagesGlob =
+    s"/tmp/graft-pages/${graft.corpus.PagesGen.CorpusVersion}-rows-1000/*.parquet"
+
   /** Export property set ONLY by graft.Verify: Bench runs the same queries
     * as pure operators — without the gate it would time oracle-export I/O
     * and write the shared export path outside the Verify run (ADVICE r3). */
@@ -717,7 +725,7 @@ object SparkEntry {
       s"""WITH p AS (SELECT url, warc_ts,
          |    regexp_extract(regexp_extract(url, '${graft.ops.Urls.HostPat}', 1),
          |      '${graft.ops.Urls.DomainPat}', 1) AS domain
-         |  FROM read_parquet('/tmp/graft-pages/${graft.corpus.PagesGen.CorpusVersion}-rows-1000/*.parquet')),
+         |  FROM read_parquet('$VerifyPagesGlob')),
          |r AS (SELECT domain, url,
          |        ROW_NUMBER() OVER (PARTITION BY domain ORDER BY warc_ts, url) AS rn
          |      FROM p),
@@ -901,12 +909,11 @@ object SparkEntry {
          | CAST(SUM("textBytes") AS BIGINT) AS bytes
          |FROM read_parquet('$ExportRoot/x02docs/*.parquet')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // pages-cache path is pinned to the driver's Verify scale (sf0.01 ->
-    // 1000 rows); the cache is materialized by the same Verify run
+    // pages-cache path pinned via VerifyPagesGlob (see its doc)
     "x03_pages_dedup" ->
       s"""SELECT
-         | (SELECT COUNT(*) FROM read_parquet('/tmp/graft-pages/${graft.corpus.PagesGen.CorpusVersion}-rows-1000/*.parquet')) AS raw_rows,
-         | (SELECT COUNT(DISTINCT url) FROM read_parquet('/tmp/graft-pages/${graft.corpus.PagesGen.CorpusVersion}-rows-1000/*.parquet')) AS unique_urls""".stripMargin,
+         | (SELECT COUNT(*) FROM read_parquet('$VerifyPagesGlob')) AS raw_rows,
+         | (SELECT COUNT(DISTINCT url) FROM read_parquet('$VerifyPagesGlob')) AS unique_urls""".stripMargin,
     "x04_span_kinds" ->
       s"""SELECT kind, COUNT(*) AS n, CAST(SUM(len) AS BIGINT) AS bytes,
          | array_to_string(list_sort(list(url))[1:3], ',') AS sample_urls

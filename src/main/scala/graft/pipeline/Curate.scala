@@ -53,12 +53,16 @@ object Curate {
       .agg(min(col("url")).as("url"))
       .select("url")
     val deduped = finished.join(winners, Seq("url"), "left_semi")
-    // passage dedup over the REPRESENTATIVES only
+    // passage dedup over the REPRESENTATIVES only. A doc whose EVERY
+    // paragraph was hot is pure boilerplate: it is DROPPED here (inner
+    // join on n_kept > 0) rather than emitted as an empty-text training
+    // row still carrying its nonzero original-textBytes quality signal.
     val stripped =
       if (paraMaxDocs <= 0) deduped
       else deduped.drop("text").join(
         Dedup.stripRepeatedParagraphs(deduped.select(col("url"), col("text")),
             idCol = "url", textCol = "text", maxDocs = paraMaxDocs)
+          .where(col("n_kept") > 0)
           .select(col("url"), col("text")),
         Seq("url"))
     val unblocked = stripped.where(!col("domain").isin(block: _*))

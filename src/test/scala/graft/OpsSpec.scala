@@ -331,6 +331,37 @@ class OpsSpec extends AnyFunSuite {
       "planted disclaimers must be corpus-present and stripped")
   }
 
+  test("passage dedup: precondition-violating mirrored corpus stays correct (no forced broadcast)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // a mirrored corpus: the SAME multi-paragraph article under many ids —
+    // the exact input the exact-dedup-first precondition exists for. The
+    // hot set here is the whole paragraph population (grows with the
+    // duplicated fraction); with the r4 broadcast(hot) hint this shape was
+    // an OOM plan at scale — now AQE decides, and the semantics must hold:
+    // every paragraph is in 8 > 2 distinct docs, so every doc empties.
+    val article = (1 to 12).map(i => s"mirrored paragraph number $i with content").mkString("\n")
+    val mirrored = (1L to 8L).map(id => (id, article))
+    val unique = Seq((100L, "only here\nsolo text"))
+    val docs = (mirrored ++ unique).toDF("doc_id", "text")
+    val out = Dedup.stripRepeatedParagraphs(docs, maxDocs = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    mirrored.foreach { case (id, _) => assert(out(id) == ((0L, ""))) }
+    assert(out(100L) == ((2L, "only here\nsolo text")))
+  }
+
+  test("dedup clusters: repeated invocations init the checkpoint fallback at most once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ids = (0L to 3L).map(i => (i, s"d $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (2L, 3L)).toDF("a", "b")
+    (1 to 3).foreach { _ => assert(Dedup.clusters(ids, pairs).count() == 4) }
+    // one JVM-wide lazy dir (and ONE shutdown hook), no matter how many
+    // clusters() calls fell back — the r4 hook-accumulation finding
+    assert(Dedup.fallbackCheckpointInits.get() <= 1,
+      s"fallback dir inited ${Dedup.fallbackCheckpointInits.get()} times")
+  }
+
   test("urls: registered domain, blocklist filter, per-domain cap") {
     val spark = TestSpark.spark
     import spark.implicits._
