@@ -719,13 +719,22 @@ object SparkEntry {
          |FROM t LEFT JOIN rebuilt r ON t.url = r.url
          |ORDER BY t.url""".stripMargin,
     // domain curation: DuckDB recomputes registered domains (same RE2-safe
-    // regexes), the per-domain cap via ROW_NUMBER in the same
-    // (warc_ts, url) order, and the blocklist flag from the pages cache
+    // regexes AND the same embedded ccSLD public-suffix lookup: last two
+    // labels unless they are a two-label public suffix, then last three),
+    // the per-domain cap via ROW_NUMBER in the same (warc_ts, url) order,
+    // and the blocklist flag from the pages cache
     "d13_domains" ->
-      s"""WITH p AS (SELECT url, warc_ts,
-         |    regexp_extract(regexp_extract(url, '${graft.ops.Urls.HostPat}', 1),
-         |      '${graft.ops.Urls.DomainPat}', 1) AS domain
+      s"""WITH h AS (SELECT url, warc_ts,
+         |    regexp_extract(url, '${graft.ops.Urls.HostPat}', 1) AS host
          |  FROM read_parquet('$VerifyPagesGlob')),
+         |p AS (SELECT url, warc_ts,
+         |    CASE WHEN regexp_extract(host, '${graft.ops.Urls.Domain3Pat}', 1) <> ''
+         |          AND regexp_extract(host, '${graft.ops.Urls.DomainPat}', 1)
+         |            IN (${graft.ops.Urls.ccSldsSqlList})
+         |         THEN regexp_extract(host, '${graft.ops.Urls.Domain3Pat}', 1)
+         |         ELSE regexp_extract(host, '${graft.ops.Urls.DomainPat}', 1)
+         |    END AS domain
+         |  FROM h),
          |r AS (SELECT domain, url,
          |        ROW_NUMBER() OVER (PARTITION BY domain ORDER BY warc_ts, url) AS rn
          |      FROM p),

@@ -60,8 +60,12 @@ object PagesGen {
     * removal.
     * c10: ~20% of html-clean pages append one of four FIXED disclaimer
     * paragraphs inside the article (repeated-boilerplate that page-level
-    * extraction keeps — the d14 passage-dedup target). */
-  val CorpusVersion = "c10"
+    * extraction keeps — the d14 passage-dedup target).
+    * c11: the key%7==5 host becomes a ccSLD host with a subdomain
+    * (`news.example-5.co.uk`) so PSL-aware registered-domain extraction
+    * (Urls.CcSlds) is corpus-exercised: the registered domain must be the
+    * THREE-label `example-5.co.uk`, not `co.uk`. */
+  val CorpusVersion = "c11"
 
   // fixed multilingual word pools (fi / sv / en flavor for `lang` variety)
   private val WordsEn = Array(
@@ -170,7 +174,10 @@ object PagesGen {
     val cat = category(idx)
     // dup pair shares one url, keyed to the first crawl's index
     val key = if (cat == "dup-url" && idx % 100 == 84) idx - 1 else idx
-    s"https://example-${key % 7}.test/$cat/doc-$key"
+    // host 5 is a ccSLD host WITH a subdomain: registered-domain logic
+    // must yield example-5.co.uk (3 labels), not co.uk (c11)
+    if (key % 7 == 5) s"https://news.example-5.co.uk/$cat/doc-$key"
+    else s"https://example-${key % 7}.test/$cat/doc-$key"
   }
 
   def warcTs(idx: Long): Timestamp = {

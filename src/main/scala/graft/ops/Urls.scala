@@ -30,13 +30,86 @@ object Urls {
   /** Last two dot-labels of the host. */
   val DomainPat = "([^.]+\\.[^.]+)$"
 
+  /** Last three dot-labels of the host (the registered domain under a
+    * two-label public suffix). */
+  val Domain3Pat = "([^.]+\\.[^.]+\\.[^.]+)$"
+
+  /** Compact snapshot of the COMMON two-label public suffixes (ccSLDs) —
+    * the entries under which a registered domain is three host labels, not
+    * two. Derived from the public-suffix list's best-known country
+    * second-level registrations (publicsuffix.org — public data); embedded
+    * as a literal table so domain extraction stays a pure expression with
+    * no runtime file dependency. Not exhaustive (the full PSL is ~10^4
+    * rules, incl. wildcards/exceptions) — but it covers the ccSLDs that
+    * dominate real crawls, where the bare last-two-labels heuristic
+    * collapses every `.co.uk` host into one pseudo-domain and breaks
+    * blocklists and per-domain caps exactly where they matter most. */
+  val CcSlds: Seq[String] = Seq(
+    // UK / Ireland
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk", "ltd.uk", "plc.uk",
+    // Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "co.nz", "org.nz", "net.nz", "govt.nz", "ac.nz", "school.nz",
+    // Japan / Korea / China / Taiwan / HK / SE Asia
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "go.kr", "ac.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw",
+    "com.hk", "org.hk", "net.hk", "edu.hk", "gov.hk",
+    "com.sg", "org.sg", "net.sg", "edu.sg", "gov.sg",
+    "com.my", "org.my", "net.my", "edu.my", "gov.my",
+    "co.th", "in.th", "ac.th", "go.th", "or.th",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "co.id", "or.id", "ac.id", "sch.id", "go.id", "web.id",
+    "com.ph", "org.ph", "net.ph", "edu.ph", "gov.ph",
+    "com.bd", "org.bd", "net.bd", "edu.bd", "gov.bd",
+    "com.pk", "org.pk", "net.pk", "edu.pk", "gov.pk",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ac.in", "res.in",
+    "edu.in", "gov.in", "nic.in",
+    // Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "org.mx", "net.mx", "edu.mx", "gob.mx",
+    "com.ar", "org.ar", "net.ar", "edu.ar", "gob.ar",
+    "com.co", "org.co", "net.co", "edu.co", "gov.co",
+    "com.pe", "org.pe", "net.pe", "edu.pe", "gob.pe",
+    "com.ve", "org.ve", "net.ve", "co.ve",
+    "com.ec", "com.uy", "com.py", "com.bo", "com.gt", "com.do", "com.sv",
+    // Europe / Middle East / Africa
+    "com.tr", "org.tr", "net.tr", "edu.tr", "gov.tr",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl", "krakow.pl",
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "kiev.ua",
+    "com.gr", "org.gr", "net.gr", "edu.gr", "gov.gr",
+    "com.pt", "org.pt", "edu.pt", "gov.pt",
+    "com.es", "org.es", "nom.es", "edu.es", "gob.es",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "com.sa", "org.sa", "net.sa", "edu.sa", "gov.sa", "med.sa",
+    "com.eg", "org.eg", "net.eg", "edu.eg", "gov.eg",
+    "co.za", "org.za", "net.za", "edu.za", "gov.za", "ac.za", "web.za",
+    "com.ng", "org.ng", "net.ng", "edu.ng", "gov.ng",
+    "co.ke", "or.ke", "ne.ke", "ac.ke", "go.ke",
+    "com.gh", "com.et", "co.tz", "co.ug", "com.na", "co.zw", "co.bw",
+    "com.ae", "com.qa", "com.kw", "com.bh", "com.om", "com.jo", "com.lb")
+
+  /** The ccSLD table as a SQL IN-list literal (for the DuckDB oracle to
+    * mirror the exact same lookup). */
+  def ccSldsSqlList: String = CcSlds.map(s => s"'$s'").mkString(", ")
+
   def host(urlCol: Column): Column = regexp_extract(urlCol, HostPat, 1)
 
-  /** Registered domain = last two labels of the host — a documented
-    * public-suffix-list-less heuristic (exact for .com/.org/.test-style
-    * corpora; a PSL lookup slots in here for ccSLDs like .co.uk). */
-  def registeredDomain(urlCol: Column): Column =
-    regexp_extract(host(urlCol), DomainPat, 1)
+  /** Registered domain: last two labels of the host — unless those two
+    * labels are a known two-label public suffix (the [[CcSlds]] table), in
+    * which case the registered domain is the last THREE labels
+    * (`news.bbc.co.uk` -> `bbc.co.uk`, not `co.uk`). A host that IS a bare
+    * public suffix (`co.uk` alone, no third label) falls back to itself.
+    * Pure codegen'd expression: two anchored regex extracts + an IN-list;
+    * the (sorted, deduped) lookup is a constant, so Catalyst folds it. */
+  def registeredDomain(urlCol: Column): Column = {
+    val h = host(urlCol)
+    val last2 = regexp_extract(h, DomainPat, 1)
+    val last3 = regexp_extract(h, Domain3Pat, 1)
+    when(last3 =!= "" && last2.isin(CcSlds: _*), last3).otherwise(last2)
+  }
 
   /** Drop rows whose registered domain is blocklisted. The list is a
     * driver-side literal: real blocklists are 10^4-10^5 entries — still

@@ -374,6 +374,18 @@ class OpsSpec extends AnyFunSuite {
     val doms = df.select(Urls.registeredDomain(col("url")).as("d"))
       .collect().map(_.getString(0))
     assert(doms.toSeq == Seq("example.test", "example.test", "other.org", ""))
+    // PSL-aware ccSLD handling: a two-label public suffix pushes the
+    // registered domain to three labels; a BARE public-suffix host falls
+    // back to itself; unknown two-label endings stay two-label
+    val cc = Seq(
+      "https://news.bbc.co.uk/story",       // -> bbc.co.uk (not co.uk)
+      "https://a.b.shop.example.com.au/x",  // deep subdomains -> 3 labels
+      "https://co.uk/",                     // bare suffix -> itself
+      "https://deep.sub.example.org/y")     // non-ccSLD -> 2 labels
+      .map(Tuple1.apply).toDF("url")
+      .select(Urls.registeredDomain(col("url")).as("d"))
+      .collect().map(_.getString(0))
+    assert(cc.toSeq == Seq("bbc.co.uk", "example.com.au", "co.uk", "example.org"))
     assert(Urls.filterBlocklist(df, "url", Seq("example.test")).count() == 2)
     // cap 2 keeps the two EARLIEST (ts) docs of the 3-doc domain
     val many = Seq(
