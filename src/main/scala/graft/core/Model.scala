@@ -13,10 +13,12 @@ case class Page(
     text: String,
     lang: String)
 
-/** Narrow row for the extraction map stage: everything after dedup needs
-  * only (url, payload) — crawler columns (text, lang) and warc_ts are
-  * dropped before the shuffle so they never travel. */
-case class RawDoc(url: String, html: Array[Byte])
+/** Narrow row for the extraction map stage: crawler columns (text, lang)
+  * are dropped before the shuffle so they never travel; `warc_ts` IS
+  * carried (12 bytes next to KB-MB payloads) because the crawl timestamp
+  * is the curation ordering key downstream — per-domain caps keep the
+  * earliest crawls, so extraction output must preserve it. */
+case class RawDoc(url: String, warc_ts: Timestamp, html: Array[Byte])
 
 /** A contiguous region of the extracted text (byte offsets into `text`).
   * `kind` is the source block tag ("p", "h1", "line", "attachment:<name>"...).
@@ -63,6 +65,11 @@ case class Extracted(
   */
 case class ExtractedRow(
     url: String,
+    /** Crawl timestamp of the winning (deduped) page version — carried
+      * through extraction so curation can order per-domain caps
+      * earliest-crawl-first (the same (warc_ts, url) ordering as
+      * Urls.capPerDomain). Not part of the byte-identity invariant. */
+    warc_ts: java.sql.Timestamp,
     status: String,
     mimeType: String,
     text: Array[Byte],

@@ -31,8 +31,9 @@ object Curate {
 
   case class Result(snapshotId: Long, kept: Long)
 
-  /** Curated schema: url, domain, mimeType, textBytes (ORIGINAL length —
-    * the quality signal), PII counts, and the REDACTED text.
+  /** Curated schema: url, warc_ts (crawl time of the winning version),
+    * domain, mimeType, textBytes (ORIGINAL length — the quality signal),
+    * PII counts, and the REDACTED text.
     * `paraMaxDocs > 0` enables the passage-dedup stage AFTER the exact
     * dedup — the ordering stripRepeatedParagraphs requires: on a corpus
     * where whole articles are mirrored across many urls, running passage
@@ -43,7 +44,7 @@ object Curate {
       paraMaxDocs: Int = 0): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
     val finished = data.where(col("status") === "finished")
-      .select(col("url"), col("mimeType"), col("textBytes"),
+      .select(col("url"), col("warc_ts"), col("mimeType"), col("textBytes"),
         col("text").cast("string").as("text"),
         Urls.registeredDomain(col("url")).as("domain"))
     // exact dedup, payloads never shuffled: winners on 24-byte key rows
@@ -66,16 +67,18 @@ object Curate {
           .select(col("url"), col("text")),
         Seq("url"))
     val unblocked = stripped.where(!col("domain").isin(block: _*))
-    // deterministic cap order: url (extraction output carries no crawl
-    // timestamp — the pipeline already kept the latest crawl per url)
-    val w = Window.partitionBy(col("domain")).orderBy(col("url"))
+    // earliest-crawl-first cap, tie-broken by url — the SAME deterministic
+    // (warc_ts, url) ordering as Urls.capPerDomain on raw pages: a training
+    // mix keeps a domain's earliest crawls, not its lexicographically
+    // smallest urls (extraction now carries the winning crawl's warc_ts)
+    val w = Window.partitionBy(col("domain")).orderBy(col("warc_ts"), col("url"))
     val capped = unblocked.withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= cap).drop("_rn")
     // counts via the fused one-pass PiiScan; the redacted TEXT still needs
     // the replace passes (4 regex passes total instead of 6)
     val st = org.apache.spark.sql.graftexpr.GraftExpr.pii_scan(col("text"))
     capped.select(
-      col("url"), col("domain"), col("mimeType"), col("textBytes"),
+      col("url"), col("warc_ts"), col("domain"), col("mimeType"), col("textBytes"),
       element_at(st, 1).cast("int").as("n_emails"),
       element_at(st, 2).cast("int").as("n_phones"),
       element_at(st, 3).cast("int").as("n_ipv4"),

@@ -105,11 +105,15 @@ object ExtractPipeline {
     xxhash64(coalesce(html, lit(Array.emptyByteArray)))
 
   /** Fused dedup + placement on narrow rows: (url, warc_ts, html) ->
-    * (url, html), hash-partitioned by url. Winner ordering matches
-    * [[dedupLatest]]: (warc_ts, tieHash(html)) descending. */
+    * (url, warc_ts, html) with ONE winner row per url, hash-partitioned by
+    * url. Winner ordering matches [[dedupLatest]]: (warc_ts, tieHash(html))
+    * descending; the winner's warc_ts rides along in the max_by payload
+    * struct (12 bytes next to the html bytes) for downstream curation. */
   private def dedupNarrow(narrow: DataFrame): DataFrame =
     narrow.groupBy(col("url"))
-      .agg(max_by(col("html"), struct(col("warc_ts"), tieHash(col("html")))).as("html"))
+      .agg(max_by(struct(col("warc_ts"), col("html")),
+        struct(col("warc_ts"), tieHash(col("html")))).as("_w"))
+      .select(col("url"), col("_w.warc_ts").as("warc_ts"), col("_w.html").as("html"))
 
   /** The typed map stage. Never throws; bad rows become status rows. */
   def extractStage(docs: Dataset[RawDoc], cfg: Config): Dataset[ExtractedRow] = {
@@ -118,9 +122,9 @@ object ExtractPipeline {
       val pid = TaskContext.getPartitionId()
       it.map { d =>
         val e = Extractor.extract(d.url, if (d.html == null) Array.emptyByteArray else d.html)
-        ExtractedRow(e.url, e.status, e.mimeType, e.text, e.spans, e.textBytes,
-          e.message, e.heuristicsVersion, e.detectedKind, e.pdfVersion,
-          e.attachments, pid, cfg.inputSnapshotId)
+        ExtractedRow(e.url, d.warc_ts, e.status, e.mimeType, e.text, e.spans,
+          e.textBytes, e.message, e.heuristicsVersion, e.detectedKind,
+          e.pdfVersion, e.attachments, pid, cfg.inputSnapshotId)
       }
     }
   }
@@ -159,9 +163,10 @@ object ExtractPipeline {
         def next(): ExtractedRow = {
           val e0 = iter.next()
           val e = Extractor.extract(e0.getKey, e0.getValue._3)
-          ExtractedRow(e.url, e.status, e.mimeType, e.text, e.spans, e.textBytes,
-            e.message, e.heuristicsVersion, e.detectedKind, e.pdfVersion,
-            e.attachments, pid, cfg.inputSnapshotId)
+          ExtractedRow(e.url, e0.getValue._1, e.status, e.mimeType, e.text,
+            e.spans, e.textBytes, e.message, e.heuristicsVersion,
+            e.detectedKind, e.pdfVersion, e.attachments, pid,
+            cfg.inputSnapshotId)
         }
       }
     }
@@ -198,7 +203,7 @@ object ExtractPipeline {
 
     val winners =
       if (cfg.assumeUnique)
-        minusDone(narrow).select(col("url"), col("html"))
+        minusDone(narrow)
           .repartition(cfg.partitions, pmod(xxhash64(col("url")), lit(cfg.partitions)))
       else minusDone(dedupNarrow(narrow))
 

@@ -41,7 +41,7 @@ object StreamingExtract {
   def extracted(pages: DataFrame, cfg: ExtractPipeline.Config): DataFrame = {
     import pages.sparkSession.implicits._
     ExtractPipeline.extractStage(
-      pages.select(col("url"), col("html")).as[RawDoc], cfg).toDF()
+      pages.select(col("url"), col("warc_ts"), col("html")).as[RawDoc], cfg).toDF()
   }
 
   /** Start the extraction stream: inputDir (parquet pages) -> outputDir
@@ -59,9 +59,18 @@ object StreamingExtract {
       dedupWithinWatermark: Boolean = true,
       watermark: String = "1 hour"): StreamingQuery = {
     val src = pagesStream(spark, inputDir)
+    // the watermark is declared on a DERIVED copy of warc_ts that is
+    // dropped right after the dedup: its only job is bounding dedup state.
+    // Declaring it on warc_ts itself would tag the OUTPUT column with
+    // event-time metadata now that extraction carries warc_ts through, and
+    // the dedup operator would then hard-drop "late" rows — silently losing
+    // a backfill (old crawls replayed later) instead of extracting it.
     val unique =
       if (dedupWithinWatermark)
-        src.withWatermark("warc_ts", watermark).dropDuplicates("url")
+        src.withColumn("_event_ts", col("warc_ts"))
+          .withWatermark("_event_ts", watermark)
+          .dropDuplicates("url")
+          .drop("_event_ts")
       else src
     extracted(unique, cfg)
       .writeStream

@@ -122,17 +122,34 @@ class PipelineSpec extends AnyFunSuite {
   test("curate: exact dedup + blocklist on crafted rows") {
     val spark = TestSpark.spark
     import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1735689600000L + s * 1000L)
     val crafted = Seq(
-      ("https://a.x.test/2", "finished", "text/plain", 9L, "same text"),
-      ("https://a.x.test/1", "finished", "text/plain", 9L, "same text"),
-      ("https://b.y.test/1", "finished", "text/plain", 10L, "other text"),
-      ("https://c.z.test/1", "finished", "text/plain", 7L, "z words"),
-      ("https://d.x.test/9", "failed", "text/plain", 0L, ""))
-      .toDF("url", "status", "mimeType", "textBytes", "text")
+      ("https://a.x.test/2", ts(1), "finished", "text/plain", 9L, "same text"),
+      ("https://a.x.test/1", ts(2), "finished", "text/plain", 9L, "same text"),
+      ("https://b.y.test/1", ts(3), "finished", "text/plain", 10L, "other text"),
+      ("https://c.z.test/1", ts(4), "finished", "text/plain", 7L, "z words"),
+      ("https://d.x.test/9", ts(5), "failed", "text/plain", 0L, ""))
+      .toDF("url", "warc_ts", "status", "mimeType", "textBytes", "text")
     val out = graft.pipeline.Curate.curate(crafted, cap = 10, block = Seq("z.test"))
       .collect().map(_.getString(0)).toSet
     // dup text: smallest url wins; blocklisted z.test dropped; failed dropped
     assert(out == Set("https://a.x.test/1", "https://b.y.test/1"))
+  }
+
+  test("curate: per-domain cap keeps the EARLIEST crawls, not smallest urls") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1735689600000L + s * 1000L)
+    // warc_ts order is the REVERSE of url order: a url-ordered cap would
+    // keep /1 and /2; the earliest-crawl cap must keep /4 and /3
+    val crafted = (1 to 4).map(i =>
+      (s"https://one.dom.test/$i", ts(10 - i), "finished", "text/plain",
+        6L + i, s"doc number $i"))
+      .toDF("url", "warc_ts", "status", "mimeType", "textBytes", "text")
+    val kept = graft.pipeline.Curate.curate(crafted, cap = 2, block = Nil)
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("https://one.dom.test/4", "https://one.dom.test/3"),
+      s"cap must order by (warc_ts, url): $kept")
   }
 
   test("curate: end-to-end over a committed snapshot (cap, pii redaction)") {
