@@ -609,45 +609,66 @@ object SparkEntry {
         | ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
         |   / len(string_split_regex(trim(text), ' +')), 4) AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // language-aware quality (r5): the stopword ratio is scored against the
+    // argmax language's stoplist — the SAME argmax CASE as d04 (tie-break:
+    // score desc, then de<en<es<fr), with the all-zero case falling back to
+    // the English list. Stoplists are interpolated from the one Scala
+    // source (TextStats.Stop*Sql) so the two engines can never drift.
     "d03_quality" ->
-      """WITH base AS (
-        | SELECT doc_id, text,
-        |  string_split_regex(trim(lower(text)), ' +') AS toks,
-        |  LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
-        |  LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS digits
-        | FROM documents),
-        |r AS (
-        | SELECT doc_id,
-        |  CAST(len(list_filter(toks, t -> list_contains(
-        |    ['the','a','of','and','to','in','is','on','for','with','as','by','at','or','be','this','that','it','an'], t)))
-        |    AS DOUBLE) / len(toks) AS sr,
-        |  CAST(punct AS DOUBLE) / LENGTH(text) AS pr,
-        |  CAST(digits AS DOUBLE) / LENGTH(text) AS dr,
-        |  len(toks) AS nt
-        | FROM base)
-        |SELECT doc_id, ROUND(sr, 4) AS stopword_ratio, ROUND(pr, 4) AS punct_ratio,
-        | ROUND(dr, 4) AS digit_ratio,
-        | ROUND(0.5 * sr + 0.3 * (1.0 - pr) + 0.2 * LEAST(1.0, CAST(nt AS DOUBLE) / 100.0), 4) AS quality_score
-        |FROM r ORDER BY doc_id""".stripMargin,
+      s"""WITH base AS (
+         | SELECT doc_id, text,
+         |  string_split_regex(trim(lower(text)), ' +') AS toks,
+         |  LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+         |  LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+         | FROM documents),
+         |lg AS (
+         | SELECT *, len(list_intersect(list_distinct(toks), ${graft.ops.TextStats.StopEnSql})) AS se,
+         |  len(list_intersect(list_distinct(toks), ${graft.ops.TextStats.StopDeSql})) AS sd,
+         |  len(list_intersect(list_distinct(toks), ${graft.ops.TextStats.StopEsSql})) AS ss,
+         |  len(list_intersect(list_distinct(toks), ${graft.ops.TextStats.StopFrSql})) AS sf
+         | FROM base),
+         |pick AS (
+         | SELECT *, CASE WHEN greatest(se, sd, ss, sf) = 0 THEN 'en'
+         |      WHEN sd >= se AND sd >= ss AND sd >= sf THEN 'de'
+         |      WHEN se >= ss AND se >= sf THEN 'en'
+         |      WHEN ss >= sf THEN 'es'
+         |      ELSE 'fr' END AS lang_pick
+         | FROM lg),
+         |r AS (
+         | SELECT doc_id,
+         |  CAST(CASE lang_pick
+         |    WHEN 'de' THEN len(list_filter(toks, t -> list_contains(${graft.ops.TextStats.StopDeSql}, t)))
+         |    WHEN 'es' THEN len(list_filter(toks, t -> list_contains(${graft.ops.TextStats.StopEsSql}, t)))
+         |    WHEN 'fr' THEN len(list_filter(toks, t -> list_contains(${graft.ops.TextStats.StopFrSql}, t)))
+         |    ELSE len(list_filter(toks, t -> list_contains(${graft.ops.TextStats.StopEnSql}, t))) END
+         |    AS DOUBLE) / len(toks) AS sr,
+         |  CAST(punct AS DOUBLE) / LENGTH(text) AS pr,
+         |  CAST(digits AS DOUBLE) / LENGTH(text) AS dr,
+         |  len(toks) AS nt
+         | FROM pick)
+         |SELECT doc_id, ROUND(sr, 4) AS stopword_ratio, ROUND(pr, 4) AS punct_ratio,
+         | ROUND(dr, 4) AS digit_ratio,
+         | ROUND(0.5 * sr + 0.3 * (1.0 - pr) + 0.2 * LEAST(1.0, CAST(nt AS DOUBLE) / 100.0), 4) AS quality_score
+         |FROM r ORDER BY doc_id""".stripMargin,
     "d04_lang_id" ->
-      """WITH s AS (
-        | SELECT doc_id, lang,
-        |  list_distinct(string_split_regex(trim(lower(text)), ' +')) AS w
-        | FROM documents),
-        |sc AS (
-        | SELECT doc_id, lang,
-        |  len(list_intersect(w, ['the','a','of','and','to','in','is','on','for','with','as','by','at','or','be','this','that','it','an'])) AS se,
-        |  len(list_intersect(w, ['der','die','das','und','ist','ein','eine','zu','mit','auf','für','von','im','den','nicht'])) AS sd,
-        |  len(list_intersect(w, ['el','la','los','las','de','y','es','en','un','una','que','por','con','para','del'])) AS ss,
-        |  len(list_intersect(w, ['le','la','les','de','et','est','un','une','que','pour','dans','du','des','au','pas'])) AS sf
-        | FROM s)
-        |SELECT doc_id, lang AS lang_tag,
-        | CASE WHEN greatest(se, sd, ss, sf) = 0 THEN 'und'
-        |      WHEN sd >= se AND sd >= ss AND sd >= sf THEN 'de'
-        |      WHEN se >= ss AND se >= sf THEN 'en'
-        |      WHEN ss >= sf THEN 'es'
-        |      ELSE 'fr' END AS lang_guess
-        |FROM sc ORDER BY doc_id""".stripMargin,
+      s"""WITH s AS (
+         | SELECT doc_id, lang,
+         |  list_distinct(string_split_regex(trim(lower(text)), ' +')) AS w
+         | FROM documents),
+         |sc AS (
+         | SELECT doc_id, lang,
+         |  len(list_intersect(w, ${graft.ops.TextStats.StopEnSql})) AS se,
+         |  len(list_intersect(w, ${graft.ops.TextStats.StopDeSql})) AS sd,
+         |  len(list_intersect(w, ${graft.ops.TextStats.StopEsSql})) AS ss,
+         |  len(list_intersect(w, ${graft.ops.TextStats.StopFrSql})) AS sf
+         | FROM s)
+         |SELECT doc_id, lang AS lang_tag,
+         | CASE WHEN greatest(se, sd, ss, sf) = 0 THEN 'und'
+         |      WHEN sd >= se AND sd >= ss AND sd >= sf THEN 'de'
+         |      WHEN se >= ss AND se >= sf THEN 'en'
+         |      WHEN ss >= sf THEN 'es'
+         |      ELSE 'fr' END AS lang_guess
+         |FROM sc ORDER BY doc_id""".stripMargin,
     // d05's oracle is the BRUTE-FORCE pair enumeration: on corpora where
     // every true pair shares a band (planted near-dups at j≈0.97 — recall
     // verified total in OpsSpec), LSH+verify must equal brute force

@@ -43,15 +43,54 @@ object TextStats {
   private val StopFr = Seq("le", "la", "les", "de", "et", "est", "un", "une",
     "que", "pour", "dans", "du", "des", "au", "pas")
 
+  /** The stoplists as DuckDB list literals — the oracle SQL interpolates
+    * these so the Scala lists and the SQL can never drift. */
+  private def sqlList(l: Seq[String]) = l.mkString("['", "', '", "']")
+  private[graft] val StopEnSql = sqlList(StopEn)
+  private[graft] val StopDeSql = sqlList(StopDe)
+  private[graft] val StopEsSql = sqlList(StopEs)
+  private[graft] val StopFrSql = sqlList(StopFr)
+
+  /** Argmax language of a token array by distinct-token stopword overlap,
+    * with the deterministic (score desc, lang asc) tie-break via a sorted
+    * struct array — the ONE language decision shared by [[langId]] and
+    * [[quality]] so the two can never disagree. Returns the best struct
+    * (fields: neg = -overlap, lang). */
+  private def langBest(toks: Column): Column = {
+    val words = array_distinct(toks)
+    def score(stop: Seq[String]) = size(array_intersect(words, lit(stop.toArray)))
+    val scored = array(
+      struct((-score(StopEn)).as("neg"), lit("en").as("lang")),
+      struct((-score(StopDe)).as("neg"), lit("de").as("lang")),
+      struct((-score(StopEs)).as("neg"), lit("es").as("lang")),
+      struct((-score(StopFr)).as("neg"), lit("fr").as("lang")))
+    element_at(array_sort(scored), 1)
+  }
+
   /** Quality score: stopword ratio + punctuation ratio + length saturation,
-    * the C4/Gopher-style cheap filters. Deterministic double math. */
+    * the C4/Gopher-style cheap filters. Deterministic double math.
+    *
+    * LANGUAGE-AWARE (r4 verdict #3): the stopword ratio is scored against
+    * the [[langBest]]-argmax language's stoplist — scoring a German doc
+    * against the English list gave it a spuriously low stopword_ratio and
+    * quality_score. Documents matching NO list ("und") fall back to the
+    * English list (the prior behavior, and the only deterministic choice
+    * without a language signal). CaseWhen evaluates only the matched
+    * branch, so each row pays for ONE stoplist filter, not four. */
   def quality(docs: DataFrame): DataFrame = {
     val toks = tokens(lower(col("text")))
     val nTok = size(toks)
+    val best = langBest(toks)
+    val lang = when(best.getField("neg") === 0, lit("en"))
+      .otherwise(best.getField("lang"))
     // occurrence count (not distinct matches): mirrors the oracle's
     // list_filter + list_contains formulation exactly
-    val stopRatio = size(filter(toks,
-      t => array_contains(lit(StopEn.toArray), t))).cast("double") / nTok
+    def occ(stop: Seq[String]) =
+      size(filter(toks, t => array_contains(lit(stop.toArray), t)))
+    val stopRatio = when(lang === "de", occ(StopDe))
+      .when(lang === "es", occ(StopEs))
+      .when(lang === "fr", occ(StopFr))
+      .otherwise(occ(StopEn)).cast("double") / nTok
     val punct = length(col("text")) -
       length(regexp_replace(col("text"), "[.,!?;:]", ""))
     val punctRatio = punct.cast("double") / length(col("text"))
@@ -70,17 +109,9 @@ object TextStats {
   }
 
   /** Language-ID heuristic: distinct-token overlap with per-language
-    * stopword lists; argmax with deterministic (score desc, lang asc)
-    * tie-break via sorted struct array. */
+    * stopword lists; argmax via [[langBest]]. */
   def langId(docs: DataFrame): DataFrame = {
-    val words = array_distinct(tokens(lower(col("text"))))
-    def score(stop: Seq[String]) = size(array_intersect(words, lit(stop.toArray)))
-    val scored = array(
-      struct((-score(StopEn)).as("neg"), lit("en").as("lang")),
-      struct((-score(StopDe)).as("neg"), lit("de").as("lang")),
-      struct((-score(StopEs)).as("neg"), lit("es").as("lang")),
-      struct((-score(StopFr)).as("neg"), lit("fr").as("lang")))
-    val best = element_at(array_sort(scored), 1)
+    val best = langBest(tokens(lower(col("text"))))
     docs.select(
       col("doc_id"),
       col("lang").as("lang_tag"),

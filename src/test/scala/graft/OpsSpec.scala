@@ -331,6 +331,24 @@ class OpsSpec extends AnyFunSuite {
       "planted disclaimers must be corpus-present and stripped")
   }
 
+  test("quality: stopword ratio scored against the argmax language's list") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val crafted = Seq(
+      // German doc: 6 of 10 tokens are German stopwords; the English list
+      // would score it 0 (the r4 verdict's spurious-low-quality case)
+      (1L, "der hund und die katze ist nicht auf jener wiese"),
+      // English doc: as before
+      (2L, "the dog and the cat is not on that lawn"),
+      // no stopwords in any list -> 'und' -> English fallback -> ratio 0
+      (3L, "zzz yyy xxx www vvv")).toDF("doc_id", "text")
+    val q = TextStats.quality(crafted).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(1L) == 0.6, s"german doc must score vs the German list: $q")
+    assert(q(2L) == 0.6, s"english doc (the,and,the,is,on,that = 6/10): $q")
+    assert(q(3L) == 0.0, s"no-stopword doc: $q")
+  }
+
   test("passage dedup: precondition-violating mirrored corpus stays correct (no forced broadcast)") {
     val spark = TestSpark.spark
     import spark.implicits._
