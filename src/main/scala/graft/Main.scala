@@ -87,46 +87,30 @@ object Main {
           }
         case "curate" =>
           // training-data curation: finished rows -> exact text dedup ->
-          // domain blocklist -> per-domain cap -> PII redaction + counts.
-          // Options fail fast BEFORE any scan (the extract/JobOptions
-          // contract): unknown keys, non-numeric or non-positive cap, and
-          // positional extras are all hard errors, never silently ignored
+          // optional passage dedup -> domain blocklist -> optional
+          // repetition/quality drops -> optional benchmark decontamination
+          // -> per-domain cap -> PII redaction + counts. Options fail fast
+          // BEFORE any scan (the extract/JobOptions contract): unknown
+          // keys, malformed/out-of-range values, and repeated keys are all
+          // hard errors, never silently ignored
           if (args.length < 3) { usage(); sys.exit(2) }
-          def bad(msg: String): Nothing = {
-            System.err.println(s"[graft] invalid options: $msg"); sys.exit(2)
+          val opts = graft.pipeline.CurateOptions.parse(args.drop(3).toSeq) match {
+            case Left(msg) =>
+              System.err.println(s"[graft] invalid options: $msg"); sys.exit(2)
+            case Right(o) => o
           }
-          val optPairs = args.drop(3).map { a =>
-            a.split("=", 2) match {
-              case Array(k @ ("cap" | "block" | "para-dedup"), v) => k -> v
-              case Array(k, _) =>
-                bad(s"unknown option '$k' (expected cap=, block=, para-dedup=)")
-              case _ => bad(s"not a key=value option: '$a'")
-            }
-          }
-          // a repeated key must fail, not silently keep the last value —
-          // the strict-options contract ('never silently ignored')
-          optPairs.groupBy(_._1).collect { case (k, vs) if vs.length > 1 => k }
-            .toSeq.sorted.foreach(k => bad(s"option '$k' given more than once"))
-          val opt = optPairs.toMap
-          def intOpt(key: String, default: Int, min: Int): Int =
-            opt.get(key) match {
-              case None => default
-              case Some(v) => v.toIntOption.filter(_ >= min)
-                .getOrElse(bad(s"$key must be an integer >= $min: '$v'"))
-            }
-          val cap = intOpt("cap", 1000, min = 1)
-          // 0 = stage disabled (and explicitly statable on the CLI)
-          val paraMaxDocs = intOpt("para-dedup", 0, min = 0)
-          val block = opt.get("block")
-            .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
-          graft.pipeline.Curate.run(spark, args(1), args(2), cap, block,
-            paraMaxDocs) match {
+          graft.pipeline.Curate.run(spark, args(1), args(2), opts) match {
             case None =>
               System.err.println(s"[graft] no committed snapshot under ${args(1)}")
               sys.exit(2)
             case Some(r) =>
               println(s"[graft] curated snapshot ${r.snapshotId}: " +
-                s"kept=${r.kept} (cap=$cap per domain, blocklist=${block.size}) -> ${args(2)}")
+                s"kept=${r.kept} (cap=${opts.cap} per domain, " +
+                s"blocklist=${opts.block.size}) -> ${args(2)}")
+              // per-stage survivors, observed during the one write pass
+              r.stages.foreach { case (stage, rows) =>
+                println(s"[curate-stage] $stage: $rows")
+              }
           }
         case "sweep" =>
           val removed = new SnapshotTable(args(1)).sweepOrphans()
@@ -160,6 +144,7 @@ object Main {
         |                  thumbnails=WxH
         |       graft.Main stream <pagesDir> <outputDir> <checkpointDir>
         |       graft.Main curate <outputRoot> <curatedDir> [cap=N] [block=dom1,dom2] [para-dedup=N]
+        |         [min-quality=F] [max-dup-word=F] [max-top-bigram=F] [decontaminate=<benchParquet>]
         |       graft.Main sweep <outputRoot>
         |       graft.Main compact <outputRoot>""".stripMargin)
 }

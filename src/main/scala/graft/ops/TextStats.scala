@@ -77,9 +77,18 @@ object TextStats {
     * English list (the prior behavior, and the only deterministic choice
     * without a language signal). CaseWhen evaluates only the matched
     * branch, so each row pays for ONE stoplist filter, not four. */
-  def quality(docs: DataFrame): DataFrame = {
-    val toks = tokens(lower(col("text")))
-    val nTok = size(toks)
+  def quality(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
+      round(punctRatio(col("text")), 4).as("punct_ratio"),
+      round(digitRatio(col("text")), 4).as("digit_ratio"),
+      qualityScore(col("text")).as("quality_score"))
+
+  /** Language-aware stopword OCCURRENCE ratio of `textCol` (see
+    * [[quality]]'s doc for the argmax + English fallback rule). */
+  def stopwordRatio(textCol: Column): Column = {
+    val toks = tokens(lower(textCol))
     val best = langBest(toks)
     val lang = when(best.getField("neg") === 0, lit("en"))
       .otherwise(best.getField("lang"))
@@ -87,25 +96,52 @@ object TextStats {
     // list_filter + list_contains formulation exactly
     def occ(stop: Seq[String]) =
       size(filter(toks, t => array_contains(lit(stop.toArray), t)))
-    val stopRatio = when(lang === "de", occ(StopDe))
+    when(lang === "de", occ(StopDe))
       .when(lang === "es", occ(StopEs))
       .when(lang === "fr", occ(StopFr))
-      .otherwise(occ(StopEn)).cast("double") / nTok
-    val punct = length(col("text")) -
-      length(regexp_replace(col("text"), "[.,!?;:]", ""))
-    val punctRatio = punct.cast("double") / length(col("text"))
-    val digits = length(col("text")) -
-      length(regexp_replace(col("text"), "[0-9]", ""))
-    val digitRatio = digits.cast("double") / length(col("text"))
-    docs.select(
-      col("doc_id"),
-      round(stopRatio, 4).as("stopword_ratio"),
-      round(punctRatio, 4).as("punct_ratio"),
-      round(digitRatio, 4).as("digit_ratio"),
-      round(
-        lit(0.5) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio) +
-          lit(0.2) * least(lit(1.0), nTok.cast("double") / 100.0), 4)
-        .as("quality_score"))
+      .otherwise(occ(StopEn)).cast("double") / size(toks)
+  }
+
+  def punctRatio(textCol: Column): Column =
+    (length(textCol) - length(regexp_replace(textCol, "[.,!?;:]", "")))
+      .cast("double") / length(textCol)
+
+  def digitRatio(textCol: Column): Column =
+    (length(textCol) - length(regexp_replace(textCol, "[0-9]", "")))
+      .cast("double") / length(textCol)
+
+  /** The composite quality score as ONE column expression — so the curate
+    * chain can filter on it without materializing the d03 frame. Identical
+    * formula (and rounding) to the d03 query/oracle. */
+  def qualityScore(textCol: Column): Column = {
+    val nTok = size(tokens(lower(textCol)))
+    round(
+      lit(0.5) * stopwordRatio(textCol) +
+        lit(0.3) * (lit(1.0) - punctRatio(textCol)) +
+        lit(0.2) * least(lit(1.0), nTok.cast("double") / 100.0), 4)
+  }
+
+  /** Gopher repetition signals as single column expressions (backed by the
+    * native one-pass RepetitionStats) — filter-friendly twins of the d11
+    * frame columns, same rounding and zero/NULL handling. */
+  def dupWordFrac(textCol: Column): Column = {
+    val st = org.apache.spark.sql.graftexpr.GraftExpr.repetition_stats(textCol)
+    // wordless/NULL text -> 0.0 (not NaN/NULL): a filter must KEEP, not
+    // silently drop, degenerate-but-allowed rows
+    coalesce(
+      when(element_at(st, 1) === 0, lit(0.0))
+        .otherwise(round(lit(1.0) -
+          element_at(st, 2).cast("double") / element_at(st, 1), 4)),
+      lit(0.0))
+  }
+
+  def topBigramFrac(textCol: Column): Column = {
+    val st = org.apache.spark.sql.graftexpr.GraftExpr.repetition_stats(textCol)
+    coalesce(
+      when(element_at(st, 4) === 0, lit(0.0))
+        .otherwise(round(
+          element_at(st, 3).cast("double") / element_at(st, 4), 4)),
+      lit(0.0))
   }
 
   /** Language-ID heuristic: distinct-token overlap with per-language

@@ -1,79 +1,201 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ops.{Dedup, TextStats, Urls}
 import graft.table.SnapshotTable
 
+/** Validated options for the curate job — the strict-options contract of
+  * the extract job (JobOptions): unknown keys, malformed values, repeated
+  * keys and out-of-range numbers are all hard errors BEFORE any scan. */
+case class CurateOptions(
+    cap: Int = 1000,
+    block: Seq[String] = Nil,
+    paraMaxDocs: Int = 0,
+    minQuality: Option[Double] = None,
+    maxDupWord: Option[Double] = None,
+    maxTopBigram: Option[Double] = None,
+    decontaminatePath: Option[String] = None)
+
+object CurateOptions {
+  val Keys: Set[String] = Set("cap", "block", "para-dedup", "min-quality",
+    "max-dup-word", "max-top-bigram", "decontaminate")
+
+  /** Parse `key=value` args; Left(message) on ANY invalid input. */
+  def parse(args: Seq[String]): Either[String, CurateOptions] = {
+    val pairs = args.map { a =>
+      a.split("=", 2) match {
+        case Array(k, v) if Keys(k) => Right(k -> v)
+        case Array(k, _) =>
+          Left(s"unknown option '$k' (expected ${Keys.toSeq.sorted.map(_ + "=").mkString(", ")})")
+        case _ => Left(s"not a key=value option: '$a'")
+      }
+    }
+    pairs.collectFirst { case Left(m) => m } match {
+      case Some(m) => Left(m)
+      case None =>
+        val kvs = pairs.collect { case Right(kv) => kv }
+        // a repeated key must fail, not silently keep the last value
+        kvs.groupBy(_._1).collectFirst { case (k, vs) if vs.length > 1 => k } match {
+          case Some(k) => Left(s"option '$k' given more than once")
+          case None =>
+            val m = kvs.toMap
+            def intOpt(key: String, default: Int, min: Int): Either[String, Int] =
+              m.get(key) match {
+                case None => Right(default)
+                case Some(v) => v.toIntOption.filter(_ >= min)
+                  .toRight(s"$key must be an integer >= $min: '$v'")
+              }
+            def fracOpt(key: String): Either[String, Option[Double]] =
+              m.get(key) match {
+                case None => Right(None)
+                case Some(v) => v.toDoubleOption.filter(d => d >= 0.0 && d <= 1.0)
+                  .map(Some(_)).toRight(s"$key must be a fraction in [0,1]: '$v'")
+              }
+            for {
+              cap <- intOpt("cap", 1000, min = 1)
+              para <- intOpt("para-dedup", 0, min = 0) // 0 = stage disabled
+              minQ <- fracOpt("min-quality")
+              maxDw <- fracOpt("max-dup-word")
+              maxTb <- fracOpt("max-top-bigram")
+            } yield CurateOptions(
+              cap = cap,
+              block = m.get("block")
+                .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil),
+              paraMaxDocs = para,
+              minQuality = minQ,
+              maxDupWord = maxDw,
+              maxTopBigram = maxTb,
+              decontaminatePath = m.get("decontaminate").filter(_.nonEmpty))
+        }
+    }
+  }
+}
+
+/** Per-stage row counters, observed DURING the one write pass (CollectMetrics
+  * nodes — never a re-read or a second action). `counts` is valid only after
+  * an action ran on the returned plan. */
+final class StageMetrics {
+  private val obs = scala.collection.mutable.ListBuffer[(String, Observation)]()
+  private[pipeline] def attach(df: DataFrame, stage: String): DataFrame = {
+    val o = Observation(s"graft-curate-$stage-${java.util.UUID.randomUUID()}")
+    obs += stage -> o
+    df.observe(o, count(lit(1)).as("rows"))
+  }
+  /** (stage, rows surviving that stage) in chain order. */
+  def counts: Seq[(String, Long)] =
+    obs.toSeq.map { case (s, o) => s -> o.get("rows").asInstanceOf[Long] }
+}
+
 /** Training-data curation over a committed extraction table — the batch,
   * user-facing composition of the corpus-hygiene operators the driver
-  * queries exercise individually (d01 exact dedup, d12 PII scrubbing,
-  * d13 domain curation):
+  * queries exercise individually, in the standard (FineWeb-style) order:
   *
   *   finished rows -> exact text dedup (smallest url per identical text,
-  *   the shared 128-bit key of Dedup.exact) -> domain blocklist ->
-  *   per-domain cap -> PII redaction + per-category counts -> parquet.
+  *   the shared 128-bit key of Dedup.exact) -> optional passage dedup ->
+  *   domain blocklist -> optional repetition/quality drops (d11/d03
+  *   signals as filters) -> optional benchmark decontamination (d10) ->
+  *   per-domain cap, earliest crawl first -> PII redaction + counts ->
+  *   parquet.
   *
   * Plan shape (skew-aware): the dedup never shuffles text payloads — the
   * winner urls are found on ~24-byte (hash, hash, len) rows (uniform key,
   * the Dedup.exact shape) and joined back left_semi on the uniform url
   * key, so a text repeated 10^6 times costs one hot AGGREGATE cell, not a
-  * one-task window sort of 10^6 full-text rows. The domain cap is the one
-  * window (domain key, capped output); the blocklist is a literal
-  * predicate; PII work is codegen'd regex in the final projection. The
-  * domain is computed ONCE as a column and reused by filter, window and
-  * projection. Kept count is captured DURING the write via `observe`
-  * (the SnapshotTable.commit precedent — no re-read of fresh output).
+  * one-task window sort of 10^6 full-text rows. The repetition/quality
+  * filters are zero-shuffle narrow predicates (native RepetitionStats +
+  * stoplist filters) applied BEFORE the wide ops so dropped rows never
+  * enter a join or the cap window. Decontamination joins 8-byte gram
+  * hashes against the (small, AQE-broadcast) benchmark gram set — corpus
+  * text never shuffles. The domain cap is the one window (domain key,
+  * (warc_ts, url) order, capped output); PII work is codegen'd regex in
+  * the final projection. The domain is computed ONCE as a column and
+  * reused by filter, window and projection. Counts are captured DURING
+  * the write via `observe` (never a re-read of fresh output).
   */
 object Curate {
 
-  case class Result(snapshotId: Long, kept: Long)
+  case class Result(snapshotId: Long, kept: Long, stages: Seq[(String, Long)])
 
   /** Curated schema: url, warc_ts (crawl time of the winning version),
     * domain, mimeType, textBytes (ORIGINAL length — the quality signal),
     * PII counts, and the REDACTED text.
-    * `paraMaxDocs > 0` enables the passage-dedup stage AFTER the exact
-    * dedup — the ordering stripRepeatedParagraphs requires: on a corpus
-    * where whole articles are mirrored across many urls, running passage
-    * dedup first would mark EVERY paragraph of a mirrored article hot and
-    * annihilate all copies to empty text (and blow the hot-set broadcast)
-    * instead of letting one representative survive. */
-  def curate(data: DataFrame, cap: Int, block: Seq[String],
-      paraMaxDocs: Int = 0): DataFrame = {
-    require(cap > 0, s"cap must be positive: $cap")
-    val finished = data.where(col("status") === "finished")
+    *
+    * `opts.paraMaxDocs > 0` enables the passage-dedup stage AFTER the
+    * exact dedup — the ordering stripRepeatedParagraphs requires: on a
+    * corpus where whole articles are mirrored across many urls, running
+    * passage dedup first would mark EVERY paragraph of a mirrored article
+    * hot and annihilate all copies to empty text (and bloat the hot set)
+    * instead of letting one representative survive.
+    *
+    * `bench` (with `opts.decontaminatePath` driving it in [[run]]): any
+    * frame with a string `text` column; training docs sharing >= 1 word
+    * 5-gram with it are dropped (the d10 rule as a filter). */
+  def curate(data: DataFrame, opts: CurateOptions,
+      bench: Option[DataFrame] = None,
+      metrics: Option[StageMetrics] = None): DataFrame = {
+    require(opts.cap > 0, s"cap must be positive: ${opts.cap}")
+    def tap(df: DataFrame, stage: String): DataFrame =
+      metrics.map(_.attach(df, stage)).getOrElse(df)
+    val finished = tap(data.where(col("status") === "finished")
       .select(col("url"), col("warc_ts"), col("mimeType"), col("textBytes"),
         col("text").cast("string").as("text"),
-        Urls.registeredDomain(col("url")).as("domain"))
+        Urls.registeredDomain(col("url")).as("domain")), "finished")
     // exact dedup, payloads never shuffled: winners on 24-byte key rows
     val winners = finished
       .select((col("url") +: Dedup.exactKeyCols(col("text"))): _*)
       .groupBy(col("_h1"), col("_h2"), col("_len"))
       .agg(min(col("url")).as("url"))
       .select("url")
-    val deduped = finished.join(winners, Seq("url"), "left_semi")
+    val deduped = tap(finished.join(winners, Seq("url"), "left_semi"), "deduped")
     // passage dedup over the REPRESENTATIVES only. A doc whose EVERY
     // paragraph was hot is pure boilerplate: it is DROPPED here (inner
     // join on n_kept > 0) rather than emitted as an empty-text training
     // row still carrying its nonzero original-textBytes quality signal.
     val stripped =
-      if (paraMaxDocs <= 0) deduped
-      else deduped.drop("text").join(
+      if (opts.paraMaxDocs <= 0) deduped
+      else tap(deduped.drop("text").join(
         Dedup.stripRepeatedParagraphs(deduped.select(col("url"), col("text")),
-            idCol = "url", textCol = "text", maxDocs = paraMaxDocs)
+            idCol = "url", textCol = "text", maxDocs = opts.paraMaxDocs)
           .where(col("n_kept") > 0)
           .select(col("url"), col("text")),
-        Seq("url"))
-    val unblocked = stripped.where(!col("domain").isin(block: _*))
+        Seq("url")), "para-deduped")
+    val unblocked = tap(stripped.where(!col("domain").isin(opts.block: _*)),
+      "unblocked")
+    // narrow structural/quality drops (zero shuffle) BEFORE the wide ops —
+    // a row the thresholds reject must never cost join or window work
+    val structural: Seq[Column] =
+      opts.maxDupWord.map(t => TextStats.dupWordFrac(col("text")) <= t).toSeq ++
+      opts.maxTopBigram.map(t => TextStats.topBigramFrac(col("text")) <= t).toSeq ++
+      opts.minQuality.map(t => TextStats.qualityScore(col("text")) >= t).toSeq
+    val filtered =
+      if (structural.isEmpty) unblocked
+      else tap(unblocked.where(structural.reduce(_ && _)), "filtered")
+    // benchmark decontamination (the d10 rule as a drop): grams travel as
+    // 8-byte hashes; the bench side is small and AQE-broadcast
+    val clean = bench match {
+      case None => filtered
+      case Some(b) =>
+        val bg = b.select(explode(
+            Dedup.shingles(col("text").cast("string"), 5)).as("g"))
+          .select(xxhash64(col("g")).as("gh")).distinct()
+        val contaminated = filtered
+          .select(col("url"), explode(Dedup.shingles(col("text"), 5)).as("g"))
+          .select(col("url"), xxhash64(col("g")).as("gh"))
+          .join(bg, Seq("gh"))
+          .select("url").distinct()
+        tap(filtered.join(contaminated, Seq("url"), "left_anti"),
+          "decontaminated")
+    }
     // earliest-crawl-first cap, tie-broken by url — the SAME deterministic
     // (warc_ts, url) ordering as Urls.capPerDomain on raw pages: a training
     // mix keeps a domain's earliest crawls, not its lexicographically
-    // smallest urls (extraction now carries the winning crawl's warc_ts)
+    // smallest urls (extraction carries the winning crawl's warc_ts)
     val w = Window.partitionBy(col("domain")).orderBy(col("warc_ts"), col("url"))
-    val capped = unblocked.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") <= cap).drop("_rn")
+    val capped = clean.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= opts.cap).drop("_rn")
     // counts via the fused one-pass PiiScan; the redacted TEXT still needs
     // the replace passes (4 regex passes total instead of 6)
     val st = org.apache.spark.sql.graftexpr.GraftExpr.pii_scan(col("text"))
@@ -88,19 +210,28 @@ object Curate {
   /** Read the committed snapshot under `outputRoot`, curate, write to
     * `curatedDir`. Returns the source snapshot id (captured BEFORE the
     * write, so a concurrent commit cannot be misreported as the curated
-    * source) and the kept count. */
+    * source), the kept count, and the per-stage survivor counts — all
+    * observed during the single write pass. */
   def run(spark: SparkSession, outputRoot: String, curatedDir: String,
-      cap: Int, block: Seq[String], paraMaxDocs: Int = 0): Option[Result] = {
+      opts: CurateOptions): Option[Result] = {
     val table = new SnapshotTable(outputRoot)
     for {
       id <- table.currentSnapshotId
       data <- table.read(spark)
     } yield {
-      val obs = org.apache.spark.sql.Observation(s"graft-curate-$id")
-      curate(data, cap, block, paraMaxDocs)
+      val bench = opts.decontaminatePath.map { p =>
+        val b = spark.read.parquet(p)
+        require(b.columns.contains("text"),
+          s"decontaminate benchmark at $p has no 'text' column " +
+            s"(columns: ${b.columns.mkString(", ")})")
+        b
+      }
+      val metrics = new StageMetrics
+      val obs = Observation(s"graft-curate-$id")
+      curate(data, opts, bench, Some(metrics))
         .observe(obs, count(lit(1)).as("rows"))
         .write.mode("overwrite").parquet(curatedDir)
-      Result(id, obs.get("rows").asInstanceOf[Long])
+      Result(id, obs.get("rows").asInstanceOf[Long], metrics.counts)
     }
   }
 }

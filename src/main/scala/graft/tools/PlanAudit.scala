@@ -20,9 +20,14 @@ object PlanAudit {
       val pages = graft.corpus.CorpusWriter.pagesDs(spark, 300L, partitions = 4)
       val extracted = graft.pipeline.ExtractPipeline
         .run(pages, graft.pipeline.ExtractPipeline.Config(partitions = 4)).toDF()
-      println("==== curate ====")
-      graft.pipeline.Curate.curate(extracted, cap = 25,
-        block = Seq("example-3.test")).explain("formatted")
+      println("==== curate (full chain incl. filters + decontamination) ====")
+      import spark.implicits._
+      graft.pipeline.Curate.curate(extracted,
+        graft.pipeline.CurateOptions(cap = 25, block = Seq("example-3.test"),
+          paraMaxDocs = 2, minQuality = Some(0.2), maxDupWord = Some(0.9),
+          maxTopBigram = Some(0.9)),
+        bench = Some(Seq("held out benchmark prompt text for the plan audit")
+          .toDF("text"))).explain("formatted")
       println("==== d12 pii (over finished text) ====")
       graft.ops.TextStats.piiStats(
         extracted.where(org.apache.spark.sql.functions.col("status") === "finished")

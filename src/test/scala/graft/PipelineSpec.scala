@@ -130,7 +130,8 @@ class PipelineSpec extends AnyFunSuite {
       ("https://c.z.test/1", ts(4), "finished", "text/plain", 7L, "z words"),
       ("https://d.x.test/9", ts(5), "failed", "text/plain", 0L, ""))
       .toDF("url", "warc_ts", "status", "mimeType", "textBytes", "text")
-    val out = graft.pipeline.Curate.curate(crafted, cap = 10, block = Seq("z.test"))
+    val out = graft.pipeline.Curate.curate(crafted,
+        graft.pipeline.CurateOptions(cap = 10, block = Seq("z.test")))
       .collect().map(_.getString(0)).toSet
     // dup text: smallest url wins; blocklisted z.test dropped; failed dropped
     assert(out == Set("https://a.x.test/1", "https://b.y.test/1"))
@@ -146,7 +147,8 @@ class PipelineSpec extends AnyFunSuite {
       (s"https://one.dom.test/$i", ts(10 - i), "finished", "text/plain",
         6L + i, s"doc number $i"))
       .toDF("url", "warc_ts", "status", "mimeType", "textBytes", "text")
-    val kept = graft.pipeline.Curate.curate(crafted, cap = 2, block = Nil)
+    val kept = graft.pipeline.Curate.curate(crafted,
+        graft.pipeline.CurateOptions(cap = 2))
       .collect().map(_.getString(0)).toSet
     assert(kept == Set("https://one.dom.test/4", "https://one.dom.test/3"),
       s"cap must order by (warc_ts, url): $kept")
@@ -160,8 +162,16 @@ class PipelineSpec extends AnyFunSuite {
       ExtractPipeline.Config(partitions = 8))
     assert(id >= 0)
     val res = graft.pipeline.Curate.run(spark, s"$tmp/out", s"$tmp/curated",
-      cap = 10, block = Seq("example-3.test"), paraMaxDocs = 2)
+      graft.pipeline.CurateOptions(cap = 10, block = Seq("example-3.test"),
+        paraMaxDocs = 2))
     assert(res.exists(_.kept > 0))
+    // stage counters observed during the write: monotone non-increasing
+    // through the chain, starting at the finished-row count
+    val stages = res.get.stages
+    assert(stages.map(_._1) ==
+      Seq("finished", "deduped", "para-deduped", "unblocked"), stages)
+    assert(stages.map(_._2) == stages.map(_._2).sorted.reverse, stages)
+    assert(stages.last._2 >= res.get.kept)
     val cur = spark.read.parquet(s"$tmp/curated")
     assert(cur.where(col("domain") === "example-3.test").count() == 0)
     assert(cur.groupBy("domain").count()
@@ -174,6 +184,53 @@ class PipelineSpec extends AnyFunSuite {
     graft.corpus.PagesGen.Disclaimers.foreach { d =>
       assert(cur.where(col("text").contains(d)).count() == 0, d.take(30))
     }
+  }
+
+  test("curate: repetition/quality filters and decontamination drop the right docs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.pipeline.{Curate, CurateOptions, StageMetrics}
+    def ts(s: Long) = new java.sql.Timestamp(1735689600000L + s * 1000L)
+    val good = "the quick brown fox jumps over the lazy dog and it is a fine day for all of this"
+    val spammy = ("buy now " * 30).trim              // dup_word_frac ≈ 0.97
+    val gibberish = "zzz qqq kkk www vvv"            // no stopwords -> low quality
+    val leaky = "the secret benchmark answer is exactly forty two here"
+    val crafted = Seq(
+      ("https://a.t.test/good", ts(1), "finished", "text/plain", 10L, good),
+      ("https://a.t.test/spam", ts(2), "finished", "text/plain", 10L, spammy),
+      ("https://a.t.test/gib", ts(3), "finished", "text/plain", 10L, gibberish),
+      ("https://a.t.test/leak", ts(4), "finished", "text/plain", 10L, leaky))
+      .toDF("url", "warc_ts", "status", "mimeType", "textBytes", "text")
+    // bench shares a 5-gram with `leaky` only
+    val bench = Seq("we know the secret benchmark answer is exactly right")
+      .toDF("text")
+    val metrics = new StageMetrics
+    val kept = Curate.curate(crafted,
+        CurateOptions(cap = 10, maxDupWord = Some(0.5), minQuality = Some(0.4)),
+        bench = Some(bench), metrics = Some(metrics))
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("https://a.t.test/good"), s"kept: $kept")
+    val counts = metrics.counts.toMap
+    assert(counts("finished") == 4 && counts("deduped") == 4 &&
+      counts("unblocked") == 4, counts)
+    assert(counts("filtered") == 2, s"spam+gibberish dropped: $counts")
+    assert(counts("decontaminated") == 1, s"leak dropped: $counts")
+  }
+
+  test("curate options: strict parse (unknown/dup keys, fractions, paths)") {
+    import graft.pipeline.CurateOptions
+    val ok = CurateOptions.parse(Seq("cap=50", "block=a.test,b.test",
+      "para-dedup=3", "min-quality=0.25", "max-dup-word=0.5",
+      "max-top-bigram=0.18", "decontaminate=/tmp/bench")).toOption.get
+    assert(ok == CurateOptions(50, Seq("a.test", "b.test"), 3, Some(0.25),
+      Some(0.5), Some(0.18), Some("/tmp/bench")))
+    assert(CurateOptions.parse(Nil) == Right(CurateOptions()))
+    assert(CurateOptions.parse(Seq("cap=5", "cap=9")).isLeft)       // dup key
+    assert(CurateOptions.parse(Seq("caps=5")).isLeft)               // unknown
+    assert(CurateOptions.parse(Seq("cap=0")).isLeft)                // min 1
+    assert(CurateOptions.parse(Seq("min-quality=1.5")).isLeft)      // >1
+    assert(CurateOptions.parse(Seq("max-dup-word=x")).isLeft)       // NaN
+    assert(CurateOptions.parse(Seq("bare")).isLeft)                 // no '='
   }
 
   test("driver contract: entry() returns rows; every query has a function") {
