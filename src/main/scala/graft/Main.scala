@@ -127,6 +127,21 @@ object Main {
           q.stop()
           val n = spark.read.parquet(args(2)).count()
           println(s"[graft] stream drained; output now holds $n extracted rows")
+        case "stream-curate" =>
+          // streaming curation: extract + the curate hygiene chain per
+          // micro-batch (dedup/cap are per-batch; see startCurated docs)
+          if (args.length < 4) { usage(); sys.exit(2) }
+          val sOpts = graft.pipeline.CurateOptions.parse(args.drop(4).toSeq) match {
+            case Left(msg) =>
+              System.err.println(s"[graft] invalid options: $msg"); sys.exit(2)
+            case Right(o) => o
+          }
+          val qc = graft.streaming.StreamingExtract.startCurated(
+            spark, args(1), args(2), args(3), sOpts)
+          qc.processAllAvailable()
+          qc.stop()
+          val nc = spark.read.parquet(s"${args(2)}/batch-*").count()
+          println(s"[graft] stream drained; curated output now holds $nc rows")
         case other =>
           System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
       }
@@ -143,6 +158,7 @@ object Main {
         |                  output-pdf-version=1|2|3   (attachment re-attach policy)
         |                  thumbnails=WxH
         |       graft.Main stream <pagesDir> <outputDir> <checkpointDir>
+        |       graft.Main stream-curate <pagesDir> <curatedDir> <checkpointDir> [curate options]
         |       graft.Main curate <outputRoot> <curatedDir> [cap=N] [block=dom1,dom2] [para-dedup=N]
         |         [min-quality=F] [max-dup-word=F] [max-top-bigram=F] [decontaminate=<benchParquet>]
         |       graft.Main sweep <outputRoot>

@@ -81,6 +81,51 @@ object StreamingExtract {
       .start()
   }
 
+  /** Streaming curation: the batch curate chain (extract -> exact dedup ->
+    * optional passage dedup -> blocklist -> quality/repetition filters ->
+    * per-domain cap -> PII redaction) applied INSIDE each micro-batch via
+    * foreachBatch — proving the hygiene operators compose with the
+    * streaming source unchanged.
+    *
+    * Semantics, stated plainly: dedup and the per-domain cap are
+    * PER-MICRO-BATCH here (streaming cannot window over data it has not
+    * seen; the url-dedup state store still spans batches upstream). The
+    * narrow stages — blocklist, quality/repetition drops, PII redaction —
+    * are per-row and therefore identical to the batch job. Global
+    * cross-batch dedup/caps remain a batch/compaction concern, exactly
+    * like last-write-wins in [[start]]'s scaladoc.
+    *
+    * Each batch overwrites its own `batch-<id>` subdirectory, so a replayed
+    * batch (foreachBatch is at-least-once) lands idempotently; read the
+    * output with a `batch-*` glob. */
+  def startCurated(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      opts: graft.pipeline.CurateOptions,
+      cfg: ExtractPipeline.Config = ExtractPipeline.Config(),
+      watermark: String = "1 hour"): StreamingQuery = {
+    import spark.implicits._
+    val src = pagesStream(spark, inputDir)
+    val unique = src.withColumn("_event_ts", col("warc_ts"))
+      .withWatermark("_event_ts", watermark)
+      .dropDuplicates("url")
+      .drop("_event_ts")
+    unique.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val extracted = ExtractPipeline.extractStage(
+          batch.select(col("url"), col("warc_ts"), col("html")).as[RawDoc],
+          cfg).toDF()
+        graft.pipeline.Curate.curate(extracted, opts)
+          .write.mode("overwrite").parquet(s"$outputDir/batch-$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+  }
+
   /** Per-host crawl-session state (custom keyed state via
     * mapGroupsWithState): tracks, per url host, a running doc count, byte
     * total, and last-seen event time; a processing-time timeout closes idle

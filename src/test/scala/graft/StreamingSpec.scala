@@ -46,6 +46,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.where(col("status") === "finished").count() > 0)
   }
 
+  test("streaming curate: hygiene chain runs per micro-batch via foreachBatch") {
+    val spark = TestSpark.spark
+    val in = Files.createTempDirectory("graft-scur-in").toString
+    val out = Files.createTempDirectory("graft-scur-out").toString
+    val ckpt = Files.createTempDirectory("graft-scur-ckpt").toString
+    CorpusWriter.pagesDs(spark, 120L, partitions = 1)
+      .write.mode("append").parquet(in)
+    val q = StreamingExtract.startCurated(spark, in, out, ckpt,
+      graft.pipeline.CurateOptions(cap = 1000, paraMaxDocs = 2,
+        block = Seq("example-3.test")))
+    q.processAllAvailable()
+    // second batch -> its own idempotent batch dir
+    CorpusWriter.pagesDs(spark, 240L, partitions = 1)
+      .write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    val cur = spark.read.parquet(s"$out/batch-*")
+    assert(cur.count() > 0)
+    // the per-row hygiene stages hold exactly as in the batch job
+    assert(cur.where(col("domain") === "example-3.test").count() == 0)
+    assert(cur.where(col("text").rlike(graft.ops.TextStats.EmailPat)).count() == 0)
+    assert(cur.columns.contains("warc_ts") && cur.columns.contains("n_emails"))
+    // cross-batch url dedup held: no url appears in two batch dirs
+    val urls = cur.select("url").collect().map(_.getString(0))
+    assert(urls.length == urls.distinct.length)
+  }
+
   test("mapGroupsWithState: per-host running state accumulates across batches") {
     val spark = TestSpark.spark
     val in = Files.createTempDirectory("graft-stream-in3").toString
