@@ -140,7 +140,16 @@ object Main {
             spark, args(1), args(2), args(3), sOpts)
           qc.processAllAvailable()
           qc.stop()
-          val nc = spark.read.parquet(s"${args(2)}/batch-*").count()
+          // a drain with no input fires zero micro-batches -> no batch-*
+          // dirs exist; report 0 instead of dying on PATH_NOT_FOUND
+          val outDir = java.nio.file.Paths.get(args(2))
+          val hasBatches = java.nio.file.Files.isDirectory(outDir) && {
+            val s = java.nio.file.Files.list(outDir)
+            try s.anyMatch(p => p.getFileName.toString.startsWith("batch-"))
+            finally s.close()
+          }
+          val nc = if (hasBatches)
+            spark.read.parquet(s"${args(2)}/batch-*").count() else 0L
           println(s"[graft] stream drained; curated output now holds $nc rows")
         case other =>
           System.err.println(s"unknown command: $other"); usage(); sys.exit(2)

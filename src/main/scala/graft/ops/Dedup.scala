@@ -168,20 +168,34 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       ngram: Int = 5): DataFrame = {
-    val bg = bench
-      .select(explode(shingles(col(textCol), ngram)).as("g"))
-      .select(xxhash64(col("g")).as("gh"))
-      .distinct()
-    val dg = docs
-      .select(col(idCol), explode(shingles(col(textCol), ngram)).as("g"))
-      .select(col(idCol), xxhash64(col("g")).as("gh"))
-    val hits = dg.join(bg, Seq("gh"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("hits")) // shingles are distinct per doc already
+    val hits = contaminationHits(docs, bench, idCol, textCol, ngram)
     docs.select(col(idCol)).join(hits, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("hits"), lit(0L)).as("contaminated_ngrams"),
         (coalesce(col("hits"), lit(0L)) > 0).cast("int").as("is_contaminated"))
+  }
+
+  /** The d10 rule's core: per doc id, the count of its word `ngram`-grams
+    * shared with `bench` (docs with zero hits are ABSENT). The ONE
+    * definition of the gram derivation + hash probe, shared by
+    * [[decontaminate]] and the curate chain's drop stage so the
+    * oracle-checked op and the production filter can never drift. */
+  def contaminationHits(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngram: Int): DataFrame = {
+    val bg = bench
+      .select(explode(shingles(col(textCol).cast("string"), ngram)).as("g"))
+      .select(xxhash64(col("g")).as("gh"))
+      .distinct()
+    docs
+      .select(col(idCol), explode(shingles(col(textCol), ngram)).as("g"))
+      .select(col(idCol), xxhash64(col("g")).as("gh"))
+      .join(bg, Seq("gh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("hits")) // shingles are distinct per doc already
   }
 
   /** Brute-force n-gram Jaccard pairs (quadratic; the small-scale oracle for

@@ -112,13 +112,16 @@ object TextStats {
 
   /** The composite quality score as ONE column expression — so the curate
     * chain can filter on it without materializing the d03 frame. Identical
-    * formula (and rounding) to the d03 query/oracle. */
+    * formula (and rounding) to the d03 query/oracle — INCLUDING the
+    * empty-text rule: zero-length text scores a DEFINED 0.0, not the NULL
+    * that punctRatio's 0/0 would yield, so a min-quality filter drops it
+    * explicitly and deterministically (mirrored in the d03 oracle CASE). */
   def qualityScore(textCol: Column): Column = {
     val nTok = size(tokens(lower(textCol)))
-    round(
+    when(length(textCol) === 0, lit(0.0)).otherwise(round(
       lit(0.5) * stopwordRatio(textCol) +
         lit(0.3) * (lit(1.0) - punctRatio(textCol)) +
-        lit(0.2) * least(lit(1.0), nTok.cast("double") / 100.0), 4)
+        lit(0.2) * least(lit(1.0), nTok.cast("double") / 100.0), 4))
   }
 
   /** Gopher repetition signals as single column expressions (backed by the

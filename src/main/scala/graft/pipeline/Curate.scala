@@ -60,6 +60,12 @@ object CurateOptions {
               minQ <- fracOpt("min-quality")
               maxDw <- fracOpt("max-dup-word")
               maxTb <- fracOpt("max-top-bigram")
+              decon <- m.get("decontaminate") match {
+                // an EMPTY path (e.g. an unset shell variable) must fail,
+                // not silently disable the stage — the strict contract
+                case Some("") => Left("decontaminate must be a non-empty path")
+                case other => Right(other)
+              }
             } yield CurateOptions(
               cap = cap,
               block = m.get("block")
@@ -68,7 +74,7 @@ object CurateOptions {
               minQuality = minQ,
               maxDupWord = maxDw,
               maxTopBigram = maxTb,
-              decontaminatePath = m.get("decontaminate").filter(_.nonEmpty))
+              decontaminatePath = decon)
         }
     }
   }
@@ -173,19 +179,14 @@ object Curate {
     val filtered =
       if (structural.isEmpty) unblocked
       else tap(unblocked.where(structural.reduce(_ && _)), "filtered")
-    // benchmark decontamination (the d10 rule as a drop): grams travel as
-    // 8-byte hashes; the bench side is small and AQE-broadcast
+    // benchmark decontamination (the d10 rule as a drop, via the SHARED
+    // Dedup.contaminationHits core): grams travel as 8-byte hashes; the
+    // bench side is small and AQE-broadcast
     val clean = bench match {
       case None => filtered
       case Some(b) =>
-        val bg = b.select(explode(
-            Dedup.shingles(col("text").cast("string"), 5)).as("g"))
-          .select(xxhash64(col("g")).as("gh")).distinct()
-        val contaminated = filtered
-          .select(col("url"), explode(Dedup.shingles(col("text"), 5)).as("g"))
-          .select(col("url"), xxhash64(col("g")).as("gh"))
-          .join(bg, Seq("gh"))
-          .select("url").distinct()
+        val contaminated = Dedup.contaminationHits(filtered, b,
+          idCol = "url", textCol = "text", ngram = 5).select("url")
         tap(filtered.join(contaminated, Seq("url"), "left_anti"),
           "decontaminated")
     }

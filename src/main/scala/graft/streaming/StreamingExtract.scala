@@ -13,13 +13,15 @@ import graft.pipeline.ExtractPipeline
   * as a file stream — new page files appear, micro-batches extract them,
   * results append to the output table. Extraction itself is per-row and
   * stateless, so the batch extractor is reused verbatim; the only streaming
-  * state is the optional url-dedup store bounded by a watermark.
+  * state is the optional url-dedup store (see [[StreamingExtract.UrlDedup]]
+  * for the exact-vs-bounded trade-off).
   *
   * Scale notes: the map stage is narrow (scales with executors exactly like
-  * the batch job); `dropDuplicates` keeps per-url state in the state store,
-  * bounded by the event-time watermark — without the watermark, state at
-  * 10^12 urls would be unbounded. Checkpointing gives exactly-once file
-  * sink semantics (the streaming analog of the snapshot-commit protocol).
+  * the batch job); the url-dedup state store is either exact-but-unbounded
+  * (Global) or watermark-bounded-but-late-dropping (Bounded) — the two real
+  * choices Spark offers, exposed explicitly rather than papered over.
+  * Checkpointing gives exactly-once file sink semantics (the streaming
+  * analog of the snapshot-commit protocol).
   */
 object StreamingExtract {
 
@@ -44,34 +46,67 @@ object StreamingExtract {
       pages.select(col("url"), col("warc_ts"), col("html")).as[RawDoc], cfg).toDF()
   }
 
+  /** Url-dedup modes for the streaming source — two honest trade-offs,
+    * empirically pinned (StreamingSpec):
+    *
+    *  - `Global` (default): `dropDuplicates("url")` — EXACT first-wins over
+    *    the run's whole history, and late backfill rows (old crawls
+    *    replayed later) are still processed. The cost, stated plainly:
+    *    state holds one entry per distinct url and the watermark does NOT
+    *    evict it (eviction requires the event-time column among the dedup
+    *    keys) — unbounded at open-crawl scale, fine for bounded drains;
+    *    the snapshot table's dedup remains the global source of truth.
+    *  - `Bounded`: `dropDuplicatesWithinWatermark("url")` — state IS
+    *    evicted at the watermark horizon, but the operator HARD-DROPS rows
+    *    whose event time is older than the watermark (measured: a
+    *    T-minus-2h backfill batch vanishes entirely). Right for live
+    *    tailing where late data is noise; WRONG for backfills.
+    *  - `Off`: no dedup; every page row is extracted.
+    */
+  sealed trait UrlDedup
+  object UrlDedup {
+    case object Off extends UrlDedup
+    case object Global extends UrlDedup
+    case object Bounded extends UrlDedup
+  }
+
+  /** Dedup a pages stream per [[UrlDedup]]. The watermark is declared on a
+    * DERIVED copy of warc_ts that is dropped right after the dedup:
+    * declaring it on warc_ts itself would tag the carried-through OUTPUT
+    * column with event-time metadata, and the Global-mode dedup operator
+    * would then hard-drop "late" rows — silently losing a backfill —
+    * because the event-time column would sit in its input schema instead
+    * of being pruned away. (Bounded mode drops late rows regardless: the
+    * within-watermark operator reads the event time by design.) */
+  private def dedupStream(src: org.apache.spark.sql.DataFrame,
+      mode: UrlDedup, watermark: String): org.apache.spark.sql.DataFrame =
+    mode match {
+      case UrlDedup.Off => src
+      case UrlDedup.Global =>
+        src.withColumn("_event_ts", col("warc_ts"))
+          .withWatermark("_event_ts", watermark)
+          .dropDuplicates("url")
+          .drop("_event_ts")
+      case UrlDedup.Bounded =>
+        src.withColumn("_event_ts", col("warc_ts"))
+          .withWatermark("_event_ts", watermark)
+          .dropDuplicatesWithinWatermark("url")
+          .drop("_event_ts")
+    }
+
   /** Start the extraction stream: inputDir (parquet pages) -> outputDir
-    * (parquet extracted rows), exactly-once via checkpoint.
-    * `dedupWithinWatermark`: drop re-crawls of a url arriving within the
-    * watermark (first-wins within the state horizon — streaming cannot see
-    * the future, so last-write-wins is a batch/compaction concern;
-    * the snapshot table's dedup remains the source of truth). */
+    * (parquet extracted rows), exactly-once via checkpoint. `urlDedup`
+    * picks the dedup/state trade-off — see [[UrlDedup]]. */
   def start(
       spark: SparkSession,
       inputDir: String,
       outputDir: String,
       checkpointDir: String,
       cfg: ExtractPipeline.Config = ExtractPipeline.Config(),
-      dedupWithinWatermark: Boolean = true,
+      urlDedup: UrlDedup = UrlDedup.Global,
       watermark: String = "1 hour"): StreamingQuery = {
     val src = pagesStream(spark, inputDir)
-    // the watermark is declared on a DERIVED copy of warc_ts that is
-    // dropped right after the dedup: its only job is bounding dedup state.
-    // Declaring it on warc_ts itself would tag the OUTPUT column with
-    // event-time metadata now that extraction carries warc_ts through, and
-    // the dedup operator would then hard-drop "late" rows — silently losing
-    // a backfill (old crawls replayed later) instead of extracting it.
-    val unique =
-      if (dedupWithinWatermark)
-        src.withColumn("_event_ts", col("warc_ts"))
-          .withWatermark("_event_ts", watermark)
-          .dropDuplicates("url")
-          .drop("_event_ts")
-      else src
+    val unique = dedupStream(src, urlDedup, watermark)
     extracted(unique, cfg)
       .writeStream
       .format("parquet")
@@ -105,19 +140,28 @@ object StreamingExtract {
       checkpointDir: String,
       opts: graft.pipeline.CurateOptions,
       cfg: ExtractPipeline.Config = ExtractPipeline.Config(),
+      urlDedup: UrlDedup = UrlDedup.Global,
       watermark: String = "1 hour"): StreamingQuery = {
     import spark.implicits._
+    // the decontaminate option is honored here exactly like Curate.run:
+    // the benchmark is a BATCH table, read + validated once up front (a
+    // bad path/schema fails at start, not mid-stream) and probed by every
+    // micro-batch
+    val bench = opts.decontaminatePath.map { p =>
+      val b = spark.read.parquet(p)
+      require(b.columns.contains("text"),
+        s"decontaminate benchmark at $p has no 'text' column " +
+          s"(columns: ${b.columns.mkString(", ")})")
+      b
+    }
     val src = pagesStream(spark, inputDir)
-    val unique = src.withColumn("_event_ts", col("warc_ts"))
-      .withWatermark("_event_ts", watermark)
-      .dropDuplicates("url")
-      .drop("_event_ts")
+    val unique = dedupStream(src, urlDedup, watermark)
     unique.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val extracted = ExtractPipeline.extractStage(
           batch.select(col("url"), col("warc_ts"), col("html")).as[RawDoc],
           cfg).toDF()
-        graft.pipeline.Curate.curate(extracted, opts)
+        graft.pipeline.Curate.curate(extracted, opts, bench)
           .write.mode("overwrite").parquet(s"$outputDir/batch-$batchId")
         ()
       }

@@ -347,6 +347,11 @@ class OpsSpec extends AnyFunSuite {
     assert(q(1L) == 0.6, s"german doc must score vs the German list: $q")
     assert(q(2L) == 0.6, s"english doc (the,and,the,is,on,that = 6/10): $q")
     assert(q(3L) == 0.0, s"no-stopword doc: $q")
+    // empty text: a DEFINED 0.0 quality score (punctRatio's 0/0 would be
+    // NULL and make a min-quality filter drop rows silently/um-documented)
+    val empty = Seq((9L, "")).toDF("doc_id", "text")
+    val qe = empty.select(TextStats.qualityScore(col("text"))).head()
+    assert(!qe.isNullAt(0) && qe.getDouble(0) == 0.0, qe)
   }
 
   test("passage dedup: precondition-violating mirrored corpus stays correct (no forced broadcast)") {

@@ -231,6 +231,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(CurateOptions.parse(Seq("min-quality=1.5")).isLeft)      // >1
     assert(CurateOptions.parse(Seq("max-dup-word=x")).isLeft)       // NaN
     assert(CurateOptions.parse(Seq("bare")).isLeft)                 // no '='
+    // empty path (unset shell var) must fail, not silently disable
+    assert(CurateOptions.parse(Seq("decontaminate=")).isLeft)
   }
 
   test("driver contract: entry() returns rows; every query has a function") {

@@ -46,6 +46,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(result.where(col("status") === "finished").count() > 0)
   }
 
+  test("url-dedup modes: Global keeps backfills with growing state; Bounded evicts state but drops late rows") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def writeBatch(dir: String, ids: Range, tsBase: Long): Unit =
+      ids.map(i => (s"https://h.test/u$i",
+          new java.sql.Timestamp(tsBase + i * 1000L),
+          s"payload number $i with words".getBytes("UTF-8"),
+          null: String, "en"))
+        .toDF("url", "warc_ts", "html", "text", "lang").repartition(1)
+        .write.mode("append").parquet(dir)
+    val base = 1735689600000L
+    def run(mode: StreamingExtract.UrlDedup): (Int, Int) = {
+      val in = Files.createTempDirectory("graft-wm-in").toString
+      val out = Files.createTempDirectory("graft-wm-out").toString
+      val ckpt = Files.createTempDirectory("graft-wm-ck").toString
+      writeBatch(in, 0 until 30, base + 7200 * 1000L) // recent: sets watermark
+      val q1 = StreamingExtract.start(spark, in, out, ckpt, urlDedup = mode)
+      q1.processAllAvailable(); q1.stop()
+      writeBatch(in, 100 until 130, base) // LATE backfill (T-2h vs watermark)
+      writeBatch(in, 0 until 10, base + 7200 * 1000L) // dups within horizon
+      val q2 = StreamingExtract.start(spark, in, out, ckpt, urlDedup = mode)
+      q2.processAllAvailable(); q2.stop()
+      val urls = spark.read.parquet(out).select("url").collect().map(_.getString(0))
+      assert(urls.length == urls.distinct.length, "dedup must hold in both modes")
+      (urls.length, urls.count(_.contains("/u1")))
+    }
+    val (globalRows, _) = run(StreamingExtract.UrlDedup.Global)
+    assert(globalRows == 60, s"Global: 30 recent + 30 late backfill: $globalRows")
+    val (boundedRows, _) = run(StreamingExtract.UrlDedup.Bounded)
+    assert(boundedRows == 30, s"Bounded: late backfill hard-dropped: $boundedRows")
+  }
+
   test("streaming curate: hygiene chain runs per micro-batch via foreachBatch") {
     val spark = TestSpark.spark
     val in = Files.createTempDirectory("graft-scur-in").toString
