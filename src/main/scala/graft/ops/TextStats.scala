@@ -147,16 +147,22 @@ object TextStats {
       lit(0.0))
   }
 
+  /** The language-ID guess as ONE column expression ("en"/"de"/"es"/"fr",
+    * or "und" when no stoplist matches) — the d04 semantics, reusable as a
+    * curated-output column. */
+  def langGuess(textCol: Column): Column = {
+    val best = langBest(tokens(lower(textCol)))
+    when(best.getField("neg") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
   /** Language-ID heuristic: distinct-token overlap with per-language
     * stopword lists; argmax via [[langBest]]. */
-  def langId(docs: DataFrame): DataFrame = {
-    val best = langBest(tokens(lower(col("text"))))
+  def langId(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       col("lang").as("lang_tag"),
-      when(best.getField("neg") === 0, lit("und"))
-        .otherwise(best.getField("lang")).as("lang_guess"))
-  }
+      langGuess(col("text")).as("lang_guess"))
 
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
     * duplicate-word fraction and the most-frequent-bigram mass — the

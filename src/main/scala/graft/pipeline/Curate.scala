@@ -17,11 +17,12 @@ case class CurateOptions(
     minQuality: Option[Double] = None,
     maxDupWord: Option[Double] = None,
     maxTopBigram: Option[Double] = None,
+    minTokens: Option[Int] = None,
     decontaminatePath: Option[String] = None)
 
 object CurateOptions {
   val Keys: Set[String] = Set("cap", "block", "para-dedup", "min-quality",
-    "max-dup-word", "max-top-bigram", "decontaminate")
+    "max-dup-word", "max-top-bigram", "min-tokens", "decontaminate")
 
   /** Parse `key=value` args; Left(message) on ANY invalid input. */
   def parse(args: Seq[String]): Either[String, CurateOptions] = {
@@ -60,6 +61,11 @@ object CurateOptions {
               minQ <- fracOpt("min-quality")
               maxDw <- fracOpt("max-dup-word")
               maxTb <- fracOpt("max-top-bigram")
+              minTok <- (m.get("min-tokens") match {
+                case None => Right(None)
+                case Some(v) => v.toIntOption.filter(_ >= 1)
+                  .map(Some(_)).toRight(s"min-tokens must be an integer >= 1: '$v'")
+              }): Either[String, Option[Int]]
               decon <- m.get("decontaminate") match {
                 // an EMPTY path (e.g. an unset shell variable) must fail,
                 // not silently disable the stage — the strict contract
@@ -74,6 +80,7 @@ object CurateOptions {
               minQuality = minQ,
               maxDupWord = maxDw,
               maxTopBigram = maxTb,
+              minTokens = minTok,
               decontaminatePath = decon)
         }
     }
@@ -127,6 +134,7 @@ object Curate {
 
   /** Curated schema: url, warc_ts (crawl time of the winning version),
     * domain, mimeType, textBytes (ORIGINAL length — the quality signal),
+    * lang (the d04 language-ID guess — the training-mix grouping key),
     * PII counts, and the REDACTED text.
     *
     * `opts.paraMaxDocs > 0` enables the passage-dedup stage AFTER the
@@ -173,6 +181,8 @@ object Curate {
     // narrow structural/quality drops (zero shuffle) BEFORE the wide ops —
     // a row the thresholds reject must never cost join or window work
     val structural: Seq[Column] =
+      opts.minTokens.map(t =>
+        size(TextStats.tokens(col("text"))) >= t && length(col("text")) > 0).toSeq ++
       opts.maxDupWord.map(t => TextStats.dupWordFrac(col("text")) <= t).toSeq ++
       opts.maxTopBigram.map(t => TextStats.topBigramFrac(col("text")) <= t).toSeq ++
       opts.minQuality.map(t => TextStats.qualityScore(col("text")) >= t).toSeq
@@ -202,6 +212,7 @@ object Curate {
     val st = org.apache.spark.sql.graftexpr.GraftExpr.pii_scan(col("text"))
     capped.select(
       col("url"), col("warc_ts"), col("domain"), col("mimeType"), col("textBytes"),
+      TextStats.langGuess(col("text")).as("lang"),
       element_at(st, 1).cast("int").as("n_emails"),
       element_at(st, 2).cast("int").as("n_phones"),
       element_at(st, 3).cast("int").as("n_ipv4"),

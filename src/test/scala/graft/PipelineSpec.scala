@@ -195,25 +195,31 @@ class PipelineSpec extends AnyFunSuite {
     val spammy = ("buy now " * 30).trim              // dup_word_frac ≈ 0.97
     val gibberish = "zzz qqq kkk www vvv"            // no stopwords -> low quality
     val leaky = "the secret benchmark answer is exactly forty two here"
+    val tiny = "too short entirely"                  // 3 tokens
     val crafted = Seq(
       ("https://a.t.test/good", ts(1), "finished", "text/plain", 10L, good),
       ("https://a.t.test/spam", ts(2), "finished", "text/plain", 10L, spammy),
       ("https://a.t.test/gib", ts(3), "finished", "text/plain", 10L, gibberish),
+      ("https://a.t.test/tiny", ts(5), "finished", "text/plain", 10L, tiny),
       ("https://a.t.test/leak", ts(4), "finished", "text/plain", 10L, leaky))
       .toDF("url", "warc_ts", "status", "mimeType", "textBytes", "text")
     // bench shares a 5-gram with `leaky` only
     val bench = Seq("we know the secret benchmark answer is exactly right")
       .toDF("text")
     val metrics = new StageMetrics
-    val kept = Curate.curate(crafted,
-        CurateOptions(cap = 10, maxDupWord = Some(0.5), minQuality = Some(0.4)),
+    val out = Curate.curate(crafted,
+        CurateOptions(cap = 10, maxDupWord = Some(0.5), minQuality = Some(0.4),
+          minTokens = Some(5)),
         bench = Some(bench), metrics = Some(metrics))
-      .collect().map(_.getString(0)).toSet
+      .collect()
+    val kept = out.map(_.getString(0)).toSet
     assert(kept == Set("https://a.t.test/good"), s"kept: $kept")
+    // the curated lang column carries the d04 guess
+    assert(out.map(_.getAs[String]("lang")).toSeq == Seq("en"), out.toSeq)
     val counts = metrics.counts.toMap
-    assert(counts("finished") == 4 && counts("deduped") == 4 &&
-      counts("unblocked") == 4, counts)
-    assert(counts("filtered") == 2, s"spam+gibberish dropped: $counts")
+    assert(counts("finished") == 5 && counts("deduped") == 5 &&
+      counts("unblocked") == 5, counts)
+    assert(counts("filtered") == 2, s"spam+gibberish+tiny dropped: $counts")
     assert(counts("decontaminated") == 1, s"leak dropped: $counts")
   }
 
@@ -221,10 +227,12 @@ class PipelineSpec extends AnyFunSuite {
     import graft.pipeline.CurateOptions
     val ok = CurateOptions.parse(Seq("cap=50", "block=a.test,b.test",
       "para-dedup=3", "min-quality=0.25", "max-dup-word=0.5",
-      "max-top-bigram=0.18", "decontaminate=/tmp/bench")).toOption.get
+      "max-top-bigram=0.18", "min-tokens=40",
+      "decontaminate=/tmp/bench")).toOption.get
     assert(ok == CurateOptions(50, Seq("a.test", "b.test"), 3, Some(0.25),
-      Some(0.5), Some(0.18), Some("/tmp/bench")))
+      Some(0.5), Some(0.18), Some(40), Some("/tmp/bench")))
     assert(CurateOptions.parse(Nil) == Right(CurateOptions()))
+    assert(CurateOptions.parse(Seq("min-tokens=0")).isLeft)         // min 1
     assert(CurateOptions.parse(Seq("cap=5", "cap=9")).isLeft)       // dup key
     assert(CurateOptions.parse(Seq("caps=5")).isLeft)               // unknown
     assert(CurateOptions.parse(Seq("cap=0")).isLeft)                // min 1
