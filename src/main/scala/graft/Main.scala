@@ -125,7 +125,9 @@ object Main {
             spark, args(1), args(2), args(3))
           q.processAllAvailable()
           q.stop()
-          val n = spark.read.parquet(args(2)).count()
+          // a zero-batch drain leaves only an empty _spark_metadata dir:
+          // reading it throws (no schema) — that is "0 rows", not a crash
+          val n = countRowsOrZero(spark, args(2))
           println(s"[graft] stream drained; output now holds $n extracted rows")
         case "stream-curate" =>
           // streaming curation: extract + the curate hygiene chain per
@@ -141,21 +143,23 @@ object Main {
           qc.processAllAvailable()
           qc.stop()
           // a drain with no input fires zero micro-batches -> no batch-*
-          // dirs exist; report 0 instead of dying on PATH_NOT_FOUND
-          val outDir = java.nio.file.Paths.get(args(2))
-          val hasBatches = java.nio.file.Files.isDirectory(outDir) && {
-            val s = java.nio.file.Files.list(outDir)
-            try s.anyMatch(p => p.getFileName.toString.startsWith("batch-"))
-            finally s.close()
-          }
-          val nc = if (hasBatches)
-            spark.read.parquet(s"${args(2)}/batch-*").count() else 0L
+          // dirs exist; report 0 instead of dying on PATH_NOT_FOUND. (The
+          // probe is the read itself — a java.nio existence check would
+          // mis-handle URI-style paths the Spark writer resolves.)
+          val nc = countRowsOrZero(spark, s"${args(2)}/batch-*")
           println(s"[graft] stream drained; curated output now holds $nc rows")
         case other =>
           System.err.println(s"unknown command: $other"); usage(); sys.exit(2)
       }
     } finally spark.stop()
   }
+
+  /** Row count of a parquet path, where "nothing was ever written there"
+    * (missing path / empty file-sink metadata / no inferable schema) is a
+    * legitimate 0, not a crash — the zero-batch streaming drain case. */
+  private def countRowsOrZero(spark: SparkSession, path: String): Long =
+    try spark.read.parquet(path).count()
+    catch { case _: org.apache.spark.sql.AnalysisException => 0L }
 
   private def usage(): Unit =
     System.err.println(

@@ -644,14 +644,14 @@ object SparkEntry {
          |    AS DOUBLE) / len(toks) AS sr,
          |  CAST(punct AS DOUBLE) / LENGTH(text) AS pr,
          |  CAST(digits AS DOUBLE) / LENGTH(text) AS dr,
-         |  len(toks) AS nt
+         |  len(toks) AS nt, LENGTH(text) AS lt
          | FROM pick)
-         |SELECT r.doc_id, ROUND(sr, 4) AS stopword_ratio, ROUND(pr, 4) AS punct_ratio,
+         |SELECT doc_id, ROUND(sr, 4) AS stopword_ratio, ROUND(pr, 4) AS punct_ratio,
          | ROUND(dr, 4) AS digit_ratio,
-         | CASE WHEN LENGTH(b.text) = 0 THEN 0.0
+         | CASE WHEN lt = 0 THEN 0.0
          |   ELSE ROUND(0.5 * sr + 0.3 * (1.0 - pr) + 0.2 * LEAST(1.0, CAST(nt AS DOUBLE) / 100.0), 4)
          | END AS quality_score
-         |FROM r JOIN base b ON r.doc_id = b.doc_id ORDER BY r.doc_id""".stripMargin,
+         |FROM r ORDER BY doc_id""".stripMargin,
     "d04_lang_id" ->
       s"""WITH s AS (
          | SELECT doc_id, lang,

@@ -168,35 +168,42 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       ngram: Int = 5): DataFrame = {
-    val hits = contaminationHits(docs, bench, idCol, textCol, ngram)
+    val hits = contaminationHits(docs, benchGramHashes(bench, textCol, ngram),
+      idCol, textCol, ngram)
     docs.select(col(idCol)).join(hits, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("hits"), lit(0L)).as("contaminated_ngrams"),
         (coalesce(col("hits"), lit(0L)) > 0).cast("int").as("is_contaminated"))
   }
 
-  /** The d10 rule's core: per doc id, the count of its word `ngram`-grams
-    * shared with `bench` (docs with zero hits are ABSENT). The ONE
-    * definition of the gram derivation + hash probe, shared by
-    * [[decontaminate]] and the curate chain's drop stage so the
-    * oracle-checked op and the production filter can never drift. */
-  def contaminationHits(
-      docs: DataFrame,
-      bench: DataFrame,
-      idCol: String,
-      textCol: String,
-      ngram: Int): DataFrame = {
-    val bg = bench
+  /** The benchmark side of the d10 rule: the distinct xxhash64'd word
+    * `ngram`-grams of `bench.textCol` — the probe set. Computed separately
+    * so a long-lived caller (the streaming curate) can build + persist it
+    * ONCE instead of re-deriving it every micro-batch. */
+  def benchGramHashes(bench: DataFrame, textCol: String = "text",
+      ngram: Int = 5): DataFrame =
+    bench
       .select(explode(shingles(col(textCol).cast("string"), ngram)).as("g"))
       .select(xxhash64(col("g")).as("gh"))
       .distinct()
+
+  /** The d10 rule's core: per doc id, the count of its word `ngram`-grams
+    * present in `benchGrams` (a [[benchGramHashes]] frame; docs with zero
+    * hits are ABSENT). The ONE definition of the gram derivation + hash
+    * probe, shared by [[decontaminate]] and the curate chain's drop stage
+    * so the oracle-checked op and the production filter can never drift. */
+  def contaminationHits(
+      docs: DataFrame,
+      benchGrams: DataFrame,
+      idCol: String,
+      textCol: String,
+      ngram: Int): DataFrame =
     docs
       .select(col(idCol), explode(shingles(col(textCol), ngram)).as("g"))
       .select(col(idCol), xxhash64(col("g")).as("gh"))
-      .join(bg, Seq("gh"))
+      .join(benchGrams, Seq("gh"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("hits")) // shingles are distinct per doc already
-  }
 
   /** Brute-force n-gram Jaccard pairs (quadratic; the small-scale oracle for
     * minhashPairs and the DuckDB-checkable variant). */

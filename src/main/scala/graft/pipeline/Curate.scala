@@ -132,6 +132,17 @@ object Curate {
 
   case class Result(snapshotId: Long, kept: Long, stages: Seq[(String, Long)])
 
+  /** Load + validate a decontamination benchmark table: any parquet with a
+    * string-castable `text` column. A bad path/schema fails fast, before
+    * any corpus scan (shared by the batch and streaming curate jobs). */
+  def readBench(spark: SparkSession, path: String): DataFrame = {
+    val b = spark.read.parquet(path)
+    require(b.columns.contains("text"),
+      s"decontaminate benchmark at $path has no 'text' column " +
+        s"(columns: ${b.columns.mkString(", ")})")
+    b
+  }
+
   /** Curated schema: url, warc_ts (crawl time of the winning version),
     * domain, mimeType, textBytes (ORIGINAL length — the quality signal),
     * lang (the d04 language-ID guess — the training-mix grouping key),
@@ -144,11 +155,13 @@ object Curate {
     * hot and annihilate all copies to empty text (and bloat the hot set)
     * instead of letting one representative survive.
     *
-    * `bench` (with `opts.decontaminatePath` driving it in [[run]]): any
-    * frame with a string `text` column; training docs sharing >= 1 word
-    * 5-gram with it are dropped (the d10 rule as a filter). */
+    * `benchGrams` (with `opts.decontaminatePath` driving it in [[run]]):
+    * a [[Dedup.benchGramHashes]] frame of the evaluation set's distinct
+    * 5-gram hashes; training docs sharing >= 1 gram with it are dropped
+    * (the d10 rule as a filter). Passed pre-derived so a long-lived caller
+    * (streaming curate) computes + persists it once, not per batch. */
   def curate(data: DataFrame, opts: CurateOptions,
-      bench: Option[DataFrame] = None,
+      benchGrams: Option[DataFrame] = None,
       metrics: Option[StageMetrics] = None): DataFrame = {
     require(opts.cap > 0, s"cap must be positive: ${opts.cap}")
     def tap(df: DataFrame, stage: String): DataFrame =
@@ -192,10 +205,10 @@ object Curate {
     // benchmark decontamination (the d10 rule as a drop, via the SHARED
     // Dedup.contaminationHits core): grams travel as 8-byte hashes; the
     // bench side is small and AQE-broadcast
-    val clean = bench match {
+    val clean = benchGrams match {
       case None => filtered
-      case Some(b) =>
-        val contaminated = Dedup.contaminationHits(filtered, b,
+      case Some(bg) =>
+        val contaminated = Dedup.contaminationHits(filtered, bg,
           idCol = "url", textCol = "text", ngram = 5).select("url")
         tap(filtered.join(contaminated, Seq("url"), "left_anti"),
           "decontaminated")
@@ -231,16 +244,11 @@ object Curate {
       id <- table.currentSnapshotId
       data <- table.read(spark)
     } yield {
-      val bench = opts.decontaminatePath.map { p =>
-        val b = spark.read.parquet(p)
-        require(b.columns.contains("text"),
-          s"decontaminate benchmark at $p has no 'text' column " +
-            s"(columns: ${b.columns.mkString(", ")})")
-        b
-      }
+      val benchGrams = opts.decontaminatePath.map(p =>
+        graft.ops.Dedup.benchGramHashes(readBench(spark, p)))
       val metrics = new StageMetrics
       val obs = Observation(s"graft-curate-$id")
-      curate(data, opts, bench, Some(metrics))
+      curate(data, opts, benchGrams, Some(metrics))
         .observe(obs, count(lit(1)).as("rows"))
         .write.mode("overwrite").parquet(curatedDir)
       Result(id, obs.get("rows").asInstanceOf[Long], metrics.counts)

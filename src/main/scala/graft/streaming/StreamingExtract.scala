@@ -70,23 +70,27 @@ object StreamingExtract {
     case object Bounded extends UrlDedup
   }
 
-  /** Dedup a pages stream per [[UrlDedup]]. The watermark is declared on a
-    * DERIVED copy of warc_ts that is dropped right after the dedup:
-    * declaring it on warc_ts itself would tag the carried-through OUTPUT
-    * column with event-time metadata, and the Global-mode dedup operator
-    * would then hard-drop "late" rows — silently losing a backfill —
-    * because the event-time column would sit in its input schema instead
-    * of being pruned away. (Bounded mode drops late rows regardless: the
-    * within-watermark operator reads the event time by design.) */
+  /** Dedup a pages stream per [[UrlDedup]].
+    *
+    * Global mode declares NO watermark at all — on purpose. A watermark
+    * with url-only dedup keys evicts nothing (eviction needs the
+    * event-time column among the keys), and worse, if the event-time
+    * column survives into the dedup operator's input schema the operator
+    * hard-drops rows older than the watermark; an earlier cut only kept
+    * backfills because Catalyst's ColumnPruning happened to remove the
+    * derived event-time column below the Deduplicate node — a correctness
+    * property hanging off an optimizer rule. Plain `dropDuplicates` is
+    * behaviorally identical (measured) with no such dependency.
+    *
+    * Bounded mode declares the watermark on a DERIVED copy of warc_ts
+    * dropped after the dedup, so the carried-through output column never
+    * acquires event-time metadata; the within-watermark operator reads the
+    * event time by design and hard-drops late rows regardless. */
   private def dedupStream(src: org.apache.spark.sql.DataFrame,
       mode: UrlDedup, watermark: String): org.apache.spark.sql.DataFrame =
     mode match {
       case UrlDedup.Off => src
-      case UrlDedup.Global =>
-        src.withColumn("_event_ts", col("warc_ts"))
-          .withWatermark("_event_ts", watermark)
-          .dropDuplicates("url")
-          .drop("_event_ts")
+      case UrlDedup.Global => src.dropDuplicates("url")
       case UrlDedup.Bounded =>
         src.withColumn("_event_ts", col("warc_ts"))
           .withWatermark("_event_ts", watermark)
@@ -145,14 +149,17 @@ object StreamingExtract {
     import spark.implicits._
     // the decontaminate option is honored here exactly like Curate.run:
     // the benchmark is a BATCH table, read + validated once up front (a
-    // bad path/schema fails at start, not mid-stream) and probed by every
-    // micro-batch
-    val bench = opts.decontaminatePath.map { p =>
-      val b = spark.read.parquet(p)
-      require(b.columns.contains("text"),
-        s"decontaminate benchmark at $p has no 'text' column " +
-          s"(columns: ${b.columns.mkString(", ")})")
-      b
+    // bad path/schema fails at start, not mid-stream). Its distinct
+    // gram-hash set is derived ONCE and persisted — without this, every
+    // micro-batch would re-scan + re-shingle + re-distinct the benchmark,
+    // and for a long-lived stream of small batches that repeated work
+    // dominates the (tiny) per-batch probe cost.
+    val benchGrams = opts.decontaminatePath.map { p =>
+      val bg = graft.ops.Dedup.benchGramHashes(
+        graft.pipeline.Curate.readBench(spark, p))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bg.count() // materialize before the stream starts
+      bg
     }
     val src = pagesStream(spark, inputDir)
     val unique = dedupStream(src, urlDedup, watermark)
@@ -161,7 +168,7 @@ object StreamingExtract {
         val extracted = ExtractPipeline.extractStage(
           batch.select(col("url"), col("warc_ts"), col("html")).as[RawDoc],
           cfg).toDF()
-        graft.pipeline.Curate.curate(extracted, opts, bench)
+        graft.pipeline.Curate.curate(extracted, opts, benchGrams)
           .write.mode("overwrite").parquet(s"$outputDir/batch-$batchId")
         ()
       }

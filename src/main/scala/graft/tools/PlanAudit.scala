@@ -26,8 +26,9 @@ object PlanAudit {
         graft.pipeline.CurateOptions(cap = 25, block = Seq("example-3.test"),
           paraMaxDocs = 2, minQuality = Some(0.2), maxDupWord = Some(0.9),
           maxTopBigram = Some(0.9)),
-        bench = Some(Seq("held out benchmark prompt text for the plan audit")
-          .toDF("text"))).explain("formatted")
+        benchGrams = Some(graft.ops.Dedup.benchGramHashes(
+          Seq("held out benchmark prompt text for the plan audit")
+            .toDF("text")))).explain("formatted")
       println("==== d12 pii (over finished text) ====")
       graft.ops.TextStats.piiStats(
         extracted.where(org.apache.spark.sql.functions.col("status") === "finished")

@@ -210,7 +210,8 @@ class PipelineSpec extends AnyFunSuite {
     val out = Curate.curate(crafted,
         CurateOptions(cap = 10, maxDupWord = Some(0.5), minQuality = Some(0.4),
           minTokens = Some(5)),
-        bench = Some(bench), metrics = Some(metrics))
+        benchGrams = Some(graft.ops.Dedup.benchGramHashes(bench)),
+        metrics = Some(metrics))
       .collect()
     val kept = out.map(_.getString(0)).toSet
     assert(kept == Set("https://a.t.test/good"), s"kept: $kept")

@@ -58,7 +58,7 @@ class StreamingSpec extends AnyFunSuite {
         .toDF("url", "warc_ts", "html", "text", "lang").repartition(1)
         .write.mode("append").parquet(dir)
     val base = 1735689600000L
-    def run(mode: StreamingExtract.UrlDedup): (Int, Int) = {
+    def run(mode: StreamingExtract.UrlDedup): Int = {
       val in = Files.createTempDirectory("graft-wm-in").toString
       val out = Files.createTempDirectory("graft-wm-out").toString
       val ckpt = Files.createTempDirectory("graft-wm-ck").toString
@@ -71,11 +71,11 @@ class StreamingSpec extends AnyFunSuite {
       q2.processAllAvailable(); q2.stop()
       val urls = spark.read.parquet(out).select("url").collect().map(_.getString(0))
       assert(urls.length == urls.distinct.length, "dedup must hold in both modes")
-      (urls.length, urls.count(_.contains("/u1")))
+      urls.length
     }
-    val (globalRows, _) = run(StreamingExtract.UrlDedup.Global)
+    val globalRows = run(StreamingExtract.UrlDedup.Global)
     assert(globalRows == 60, s"Global: 30 recent + 30 late backfill: $globalRows")
-    val (boundedRows, _) = run(StreamingExtract.UrlDedup.Bounded)
+    val boundedRows = run(StreamingExtract.UrlDedup.Bounded)
     assert(boundedRows == 30, s"Bounded: late backfill hard-dropped: $boundedRows")
   }
 
