@@ -323,6 +323,22 @@ object SparkEntry {
       Dedup.stripRepeatedParagraphs(texts, idCol = "url", textCol = "text",
         maxDocs = 2)
     }),
+    "d15_url_canon" -> ((s, d) => {
+      // URL canonicalization (the C4-style pre-dedup normalization): both
+      // engines derive the SAME five messy variants of every corpus url
+      // (identity, fragment anchor, uppercased scheme://host, explicit
+      // default port, trailing slash) and canonicalize them with the same
+      // RE2-compatible rule chain — every variant row value-compared.
+      val p = pages(s, d).select(col("url"))
+      val variants = p.select(explode(array(
+        col("url"),
+        concat(col("url"), lit("#Section-2")),
+        concat(lit("HTTPS://"), expr("substring(url, 9)")),
+        regexp_replace(col("url"), "^https://([^/]+)", "https://$1:443"),
+        concat(col("url"), lit("/")))).as("u"))
+      variants.select(col("u"),
+        graft.ops.Urls.canonicalize(col("u")).as("canon"))
+    }),
     "d13_domains" -> ((s, d) => {
       // URL/domain curation over the crawl METADATA (no payload reads):
       // per registered domain — doc count, distinct urls, survivors of a
@@ -771,6 +787,34 @@ object SparkEntry {
          | CAST(p.domain IN ('example-3.test') AS INT) AS is_blocked
          |FROM p LEFT JOIN k USING (domain)
          |GROUP BY p.domain ORDER BY 1""".stripMargin,
+    // url canonicalization: DuckDB re-derives the same five variants per
+    // corpus url and re-runs the same rule chain (strip fragment,
+    // lowercase scheme://host, drop default ports, strip trailing
+    // slashes; non-URLs unchanged) — replacement backrefs are \1-style in
+    // RE2 vs $1 in java.util.regex, so the replacement literals differ
+    // while the patterns are the shared constants
+    "d15_url_canon" ->
+      s"""WITH p AS (SELECT url FROM read_parquet('$VerifyPagesGlob')),
+         |v AS (SELECT unnest([
+         |    url,
+         |    url || '#Section-2',
+         |    'HTTPS://' || substring(url, 9),
+         |    regexp_replace(url, '^https://([^/]+)', 'https://\\1:443'),
+         |    url || '/']) AS u FROM p),
+         |x AS (SELECT u,
+         |    regexp_extract(regexp_replace(u, '#.*$$', ''), '${graft.ops.Urls.PrePat}', 1) AS pre,
+         |    regexp_replace(regexp_replace(u, '#.*$$', ''), '${graft.ops.Urls.PrePat}', '') AS rest
+         |  FROM v)
+         |SELECT u,
+         | CASE WHEN pre = '' THEN u
+         |      ELSE regexp_replace(
+         |             regexp_replace(
+         |               regexp_replace(lower(pre) || rest,
+         |                 '^(http://[^/:]+):80(/|$$)', '\\1\\2'),
+         |               '^(https://[^/:]+):443(/|$$)', '\\1\\2'),
+         |             '/+$$', '')
+         | END AS canon
+         |FROM x ORDER BY u, canon""".stripMargin,
     // PII scrubbing: DuckDB recomputes category counts and the redacted
     // length from the exported extracted text with the SAME patterns
     // (restricted to the java.regex/RE2 common subset) under the same

@@ -95,6 +95,10 @@ object Urls {
     * mirror the exact same lookup). */
   def ccSldsSqlList: String = CcSlds.map(s => s"'$s'").mkString(", ")
 
+  /** The `scheme://host` prefix of an absolute URL, as ONE capture —
+    * shared by [[canonicalize]] and the d15 oracle SQL. */
+  val PrePat = "^([A-Za-z][A-Za-z0-9+.-]*://[^/ \\t\\r\\n]+)"
+
   def host(urlCol: Column): Column = regexp_extract(urlCol, HostPat, 1)
 
   /** Registered domain: last two labels of the host — unless those two
@@ -109,6 +113,33 @@ object Urls {
     val last2 = regexp_extract(h, DomainPat, 1)
     val last3 = regexp_extract(h, Domain3Pat, 1)
     when(last3 =!= "" && last2.isin(CcSlds: _*), last3).otherwise(last2)
+  }
+
+  /** C4-style URL canonicalization — the normalization web pipelines apply
+    * BEFORE url-keyed dedup so trivially-different spellings of one page
+    * (fragment anchors, scheme/host case, explicit default ports, trailing
+    * slashes) collapse to one key. Deliberately minimal and exactly
+    * specified (each rule is one RE2-compatible regex, mirrored in the d15
+    * oracle SQL):
+    *
+    *   1. strip the fragment (`#...`),
+    *   2. lowercase the `scheme://host` prefix (the PATH stays
+    *      case-sensitive — `/Page` and `/page` are different resources),
+    *   3. drop explicit default ports (`:80` for http, `:443` for https),
+    *   4. strip trailing slashes.
+    *
+    * Non-absolute-URL values pass through unchanged (same contract as
+    * [[host]]). Pure codegen'd expression — a narrow map at any scale. */
+  def canonicalize(urlCol: Column): Column = {
+    val noFrag = regexp_replace(urlCol, "#.*$", "")
+    val pre = regexp_extract(noFrag, PrePat, 1)
+    val rest = regexp_replace(noFrag, PrePat, "")
+    val lowered = concat(lower(pre), rest)
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^/:]+):80(/|$)", "$1$2"),
+      "^(https://[^/:]+):443(/|$)", "$1$2")
+    val noSlash = regexp_replace(noPort, "/+$", "")
+    when(pre === "", urlCol).otherwise(noSlash)
   }
 
   /** Drop rows whose registered domain is blocklisted. The list is a

@@ -18,11 +18,13 @@ case class CurateOptions(
     maxDupWord: Option[Double] = None,
     maxTopBigram: Option[Double] = None,
     minTokens: Option[Int] = None,
+    nearDedup: Option[Double] = None,
     decontaminatePath: Option[String] = None)
 
 object CurateOptions {
   val Keys: Set[String] = Set("cap", "block", "para-dedup", "min-quality",
-    "max-dup-word", "max-top-bigram", "min-tokens", "decontaminate")
+    "max-dup-word", "max-top-bigram", "min-tokens", "near-dedup",
+    "decontaminate")
 
   /** Parse `key=value` args; Left(message) on ANY invalid input. */
   def parse(args: Seq[String]): Either[String, CurateOptions] = {
@@ -66,6 +68,13 @@ object CurateOptions {
                 case Some(v) => v.toIntOption.filter(_ >= 1)
                   .map(Some(_)).toRight(s"min-tokens must be an integer >= 1: '$v'")
               }): Either[String, Option[Int]]
+              // threshold 0 would make EVERY doc pair a near-dup candidate
+              // (quadratic) — exclude it explicitly
+              nearD <- (m.get("near-dedup") match {
+                case None => Right(None)
+                case Some(v) => v.toDoubleOption.filter(d => d > 0.0 && d <= 1.0)
+                  .map(Some(_)).toRight(s"near-dedup must be a Jaccard threshold in (0,1]: '$v'")
+              }): Either[String, Option[Double]]
               decon <- m.get("decontaminate") match {
                 // an EMPTY path (e.g. an unset shell variable) must fail,
                 // not silently disable the stage — the strict contract
@@ -81,6 +90,7 @@ object CurateOptions {
               maxDupWord = maxDw,
               maxTopBigram = maxTb,
               minTokens = minTok,
+              nearDedup = nearD,
               decontaminatePath = decon)
         }
     }
@@ -107,11 +117,12 @@ final class StageMetrics {
   * queries exercise individually, in the standard (FineWeb-style) order:
   *
   *   finished rows -> exact text dedup (smallest url per identical text,
-  *   the shared 128-bit key of Dedup.exact) -> optional passage dedup ->
-  *   domain blocklist -> optional repetition/quality drops (d11/d03
-  *   signals as filters) -> optional benchmark decontamination (d10) ->
-  *   per-domain cap, earliest crawl first -> PII redaction + counts ->
-  *   parquet.
+  *   the shared 128-bit key of Dedup.exact) -> optional MinHash-LSH fuzzy
+  *   near-dedup (d05+d09: component representative kept) -> optional
+  *   passage dedup -> domain blocklist -> optional
+  *   repetition/quality/min-tokens drops (d11/d03 signals as filters) ->
+  *   optional benchmark decontamination (d10) -> per-domain cap, earliest
+  *   crawl first -> PII redaction + counts -> parquet.
   *
   * Plan shape (skew-aware): the dedup never shuffles text payloads — the
   * winner urls are found on ~24-byte (hash, hash, len) rows (uniform key,
@@ -177,14 +188,34 @@ object Curate {
       .agg(min(col("url")).as("url"))
       .select("url")
     val deduped = tap(finished.join(winners, Seq("url"), "left_semi"), "deduped")
+    // fuzzy (MinHash-LSH) near-dedup over the exact-dedup representatives —
+    // the d05+d09 composition: candidate pairs at the Jaccard threshold,
+    // connected components, keep each component's min-url representative
+    // (the component label IS the min url under min-label propagation).
+    // Stage ORDER is the documented d05 precondition: exact dedup first,
+    // and near-dedup BEFORE passage dedup (near-identical copies would
+    // otherwise make all their paragraphs hot and annihilate every copy).
+    // NOTE: Dedup.clusters runs its label-propagation loop eagerly
+    // (actions + a reliable checkpoint), so enabling this stage makes
+    // curate() partially eager rather than one lazy plan.
+    val fuzzy = opts.nearDedup match {
+      case None => deduped
+      case Some(th) =>
+        val docs = deduped.select(col("url"), col("text"))
+        val pairs = Dedup.minhashPairs(docs, idCol = "url", textCol = "text",
+          threshold = th)
+        val reps = Dedup.clusters(docs, pairs, idCol = "url")
+          .select(col("cluster_id").as("url")).distinct()
+        tap(deduped.join(reps, Seq("url"), "left_semi"), "near-deduped")
+    }
     // passage dedup over the REPRESENTATIVES only. A doc whose EVERY
     // paragraph was hot is pure boilerplate: it is DROPPED here (inner
     // join on n_kept > 0) rather than emitted as an empty-text training
     // row still carrying its nonzero original-textBytes quality signal.
     val stripped =
-      if (opts.paraMaxDocs <= 0) deduped
-      else tap(deduped.drop("text").join(
-        Dedup.stripRepeatedParagraphs(deduped.select(col("url"), col("text")),
+      if (opts.paraMaxDocs <= 0) fuzzy
+      else tap(fuzzy.drop("text").join(
+        Dedup.stripRepeatedParagraphs(fuzzy.select(col("url"), col("text")),
             idCol = "url", textCol = "text", maxDocs = opts.paraMaxDocs)
           .where(col("n_kept") > 0)
           .select(col("url"), col("text")),

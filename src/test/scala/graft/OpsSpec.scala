@@ -385,6 +385,23 @@ class OpsSpec extends AnyFunSuite {
       s"fallback dir inited ${Dedup.fallbackCheckpointInits.get()} times")
   }
 
+  test("urls: canonicalize strips fragments/ports/slashes, lowercases prefix only") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.ops.Urls
+    val cases = Seq(
+      "https://X.Test/Path/Sub/" -> "https://x.test/Path/Sub", // path case KEPT
+      "HTTP://A.Test:80/x" -> "http://a.test/x",
+      "https://a.test:443" -> "https://a.test",
+      "https://a.test:8080/x" -> "https://a.test:8080/x", // non-default port kept
+      "https://a.test/x#frag" -> "https://a.test/x",
+      "https://a.test/" -> "https://a.test",
+      "not a url" -> "not a url")
+    val got = cases.map(_._1).map(Tuple1.apply).toDF("u")
+      .select(Urls.canonicalize(col("u"))).collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2), got.toSeq)
+  }
+
   test("urls: registered domain, blocklist filter, per-domain cap") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -224,16 +224,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(counts("decontaminated") == 1, s"leak dropped: $counts")
   }
 
+  test("curate: fuzzy near-dedup keeps one representative per near-dup component") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.pipeline.{Curate, CurateOptions, StageMetrics}
+    def ts(s: Long) = new java.sql.Timestamp(1735689600000L + s * 1000L)
+    val base = "the quick brown fox jumps over the lazy dog and keeps running through the field today"
+    val crafted = Seq(
+      ("https://n.t.test/a1", ts(1), "finished", "text/plain", 10L, base),
+      // near-dup of a1 (one word appended -> high trigram jaccard), NOT exact
+      ("https://n.t.test/a2", ts(2), "finished", "text/plain", 10L, base + " indeed"),
+      ("https://n.t.test/b", ts(3), "finished", "text/plain", 10L,
+        "completely different content about catalyst optimizer rules and physical planning"))
+      .toDF("url", "warc_ts", "status", "mimeType", "textBytes", "text")
+    val metrics = new StageMetrics
+    val kept = Curate.curate(crafted,
+        CurateOptions(cap = 10, nearDedup = Some(0.7)),
+        metrics = Some(metrics))
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("https://n.t.test/a1", "https://n.t.test/b"),
+      s"near-dup a2 must collapse into a1: $kept")
+    val counts = metrics.counts.toMap
+    assert(counts("deduped") == 3 && counts("near-deduped") == 2, counts)
+  }
+
   test("curate options: strict parse (unknown/dup keys, fractions, paths)") {
     import graft.pipeline.CurateOptions
     val ok = CurateOptions.parse(Seq("cap=50", "block=a.test,b.test",
       "para-dedup=3", "min-quality=0.25", "max-dup-word=0.5",
-      "max-top-bigram=0.18", "min-tokens=40",
+      "max-top-bigram=0.18", "min-tokens=40", "near-dedup=0.85",
       "decontaminate=/tmp/bench")).toOption.get
-    assert(ok == CurateOptions(50, Seq("a.test", "b.test"), 3, Some(0.25),
-      Some(0.5), Some(0.18), Some(40), Some("/tmp/bench")))
+    assert(ok == CurateOptions(cap = 50, block = Seq("a.test", "b.test"),
+      paraMaxDocs = 3, minQuality = Some(0.25), maxDupWord = Some(0.5),
+      maxTopBigram = Some(0.18), minTokens = Some(40),
+      nearDedup = Some(0.85), decontaminatePath = Some("/tmp/bench")))
     assert(CurateOptions.parse(Nil) == Right(CurateOptions()))
     assert(CurateOptions.parse(Seq("min-tokens=0")).isLeft)         // min 1
+    assert(CurateOptions.parse(Seq("near-dedup=0")).isLeft)         // (0,1]
     assert(CurateOptions.parse(Seq("cap=5", "cap=9")).isLeft)       // dup key
     assert(CurateOptions.parse(Seq("caps=5")).isLeft)               // unknown
     assert(CurateOptions.parse(Seq("cap=0")).isLeft)                // min 1
