@@ -323,6 +323,19 @@ object SparkEntry {
       Dedup.stripRepeatedParagraphs(texts, idCol = "url", textCol = "text",
         maxDocs = 2)
     }),
+    "d16_token_budget" -> ((s, d) => {
+      // token-budgeted mix selection: per lang (the demo group — real
+      // mixes group by registered domain or (lang, source); see Mix docs),
+      // keep the doc_id-ordered prefix until 50k whitespace tokens. The
+      // inclusive running sum is part of the output so DuckDB re-derives
+      // selection AND accounting.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(TextStats.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.ops.Mix.tokenBudgetPerGroup(docs, col("lang"),
+          Seq(col("doc_id")), col("n_tokens"), budget = 50000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("running_tokens"))
+    }),
     "d15_url_canon" -> ((s, d) => {
       // URL canonicalization (the C4-style pre-dedup normalization): both
       // engines derive the SAME five messy variants of every corpus url
@@ -787,6 +800,20 @@ object SparkEntry {
          | CAST(p.domain IN ('example-3.test') AS INT) AS is_blocked
          |FROM p LEFT JOIN k USING (domain)
          |GROUP BY p.domain ORDER BY 1""".stripMargin,
+    // token-budget mix selection: DuckDB re-derives the per-lang running
+    // prefix sum (same ROWS frame, same order) and the <=-budget cut
+    "d16_token_budget" ->
+      """WITH d AS (
+        | SELECT doc_id, lang,
+        |  CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id, lang, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_tokens
+        | FROM d)
+        |SELECT doc_id, lang, n_tokens, running_tokens
+        |FROM r WHERE running_tokens <= 50000 ORDER BY lang, doc_id""".stripMargin,
     // url canonicalization: DuckDB re-derives the same five variants per
     // corpus url and re-runs the same rule chain (strip fragment,
     // lowercase scheme://host, drop default ports, strip trailing

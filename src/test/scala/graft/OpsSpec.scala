@@ -385,6 +385,22 @@ class OpsSpec extends AnyFunSuite {
       s"fallback dir inited ${Dedup.fallbackCheckpointInits.get()} times")
   }
 
+  test("mix: token budget keeps the per-group prefix, including the exact-fit row") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 40L), ("a", 2L, 60L), // running 40, 100 -> both fit at 100
+      ("a", 3L, 1L),                  // running 101 -> over; PREFIX rule:
+      ("a", 4L, 0L),                  // zero-token row after overflow? running
+                                      // stays 101 -> dropped too (prefix holds)
+      ("b", 1L, 100L), ("b", 2L, 1L)  // b: 100 fits exactly, 101 over
+    ).toDF("g", "id", "n")
+    val kept = graft.ops.Mix.tokenBudgetPerGroup(df, col("g"),
+        Seq(col("id")), col("n"), budget = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(kept == Set(("a", 1L, 40L), ("a", 2L, 100L), ("b", 1L, 100L)), kept)
+  }
+
   test("urls: canonicalize strips fragments/ports/slashes, lowercases prefix only") {
     val spark = TestSpark.spark
     import spark.implicits._
