@@ -151,7 +151,7 @@ object Bench {
           "q05_window_topn", "q06_sessionize", "d01_exact_dedup",
           "d02_token_stats", "d05_minhash_pairs", "d07_simhash_pairs",
           "d10_decontaminate", "d11_repetition", "d12_pii", "d13_domains",
-          "d14_para_dedup",
+          "d14_para_dedup", "d15_url_canon", "d16_token_budget",
           "e01_cosine_topk", "e02_ann_lsh", "e04_ann_ivf",
           "x01_extract_status_counts")
         val qt = SparkEntry.queries.toSeq.sortBy(_._1)
