@@ -24,6 +24,11 @@ object Main {
       .appName("graft-extract")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // reclaim reliable-checkpoint files once their RDDs are GC'd: the
+      // near-dedup stage checkpoints its fixpoint per invocation, and a
+      // long-lived stream-curate would otherwise accumulate one checkpoint
+      // dataset per micro-batch until JVM exit
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     // under spark-submit the submitted master wins; standalone runs (sandbox,
     // sbt runMain) fall back to all local cores
     if (!sys.props.contains("spark.master") && !sys.env.contains("MASTER")) {
@@ -155,11 +160,19 @@ object Main {
   }
 
   /** Row count of a parquet path, where "nothing was ever written there"
-    * (missing path / empty file-sink metadata / no inferable schema) is a
-    * legitimate 0, not a crash — the zero-batch streaming drain case. */
+    * (missing path / empty file-sink metadata, i.e. no inferable schema)
+    * is a legitimate 0, not a crash — the zero-batch streaming drain case.
+    * ONLY those two error conditions map to 0: any other AnalysisException
+    * (mixed schemas across batch dirs, genuine corruption) propagates —
+    * a silent "0 rows" must never mask a real read failure. */
   private def countRowsOrZero(spark: SparkSession, path: String): Long =
     try spark.read.parquet(path).count()
-    catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(c =>
+            c.startsWith("PATH_NOT_FOUND") ||
+              c.startsWith("UNABLE_TO_INFER_SCHEMA")) => 0L
+    }
 
   private def usage(): Unit =
     System.err.println(

@@ -348,7 +348,9 @@ object SparkEntry {
         concat(col("url"), lit("#Section-2")),
         concat(lit("HTTPS://"), expr("substring(url, 9)")),
         regexp_replace(col("url"), "^https://([^/]+)", "https://$1:443"),
-        concat(col("url"), lit("/")))).as("u"))
+        concat(col("url"), lit("/")),
+        // query string: case and internal slashes must survive untouched
+        concat(col("url"), lit("?Q=Mixed/Case/")))).as("u"))
       variants.select(col("u"),
         graft.ops.Urls.canonicalize(col("u")).as("canon"))
     }),
@@ -827,7 +829,8 @@ object SparkEntry {
          |    url || '#Section-2',
          |    'HTTPS://' || substring(url, 9),
          |    regexp_replace(url, '^https://([^/]+)', 'https://\\1:443'),
-         |    url || '/']) AS u FROM p),
+         |    url || '/',
+         |    url || '?Q=Mixed/Case/']) AS u FROM p),
          |x AS (SELECT u,
          |    regexp_extract(regexp_replace(u, '#.*$$', ''), '${graft.ops.Urls.PrePat}', 1) AS pre,
          |    regexp_replace(regexp_replace(u, '#.*$$', ''), '${graft.ops.Urls.PrePat}', '') AS rest
@@ -837,9 +840,9 @@ object SparkEntry {
          |      ELSE regexp_replace(
          |             regexp_replace(
          |               regexp_replace(lower(pre) || rest,
-         |                 '^(http://[^/:]+):80(/|$$)', '\\1\\2'),
-         |               '^(https://[^/:]+):443(/|$$)', '\\1\\2'),
-         |             '/+$$', '')
+         |                 '^(http://[^/:?]+):80([/?]|$$)', '\\1\\2'),
+         |               '^(https://[^/:?]+):443([/?]|$$)', '\\1\\2'),
+         |             '^([^?]*?)/+(\\?.*)?$$', '\\1\\2')
          | END AS canon
          |FROM x ORDER BY u, canon""".stripMargin,
     // PII scrubbing: DuckDB recomputes category counts and the redacted

@@ -18,14 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
+  /** Characters allowed in the authority (host[:port]) — ONE charset
+    * shared by [[HostPat]] and [[PrePat]] so host extraction (d13) and
+    * canonicalization (d15) can never disagree about where the host ends.
+    * Excluded: `/` (path), `?` (query — a path-less `host?query` URL must
+    * NOT swallow the query into the host), `#` (fragment), and whitespace
+    * — a newline smuggled into the authority would otherwise make Java's
+    * `$` (which matches before a final line terminator) and RE2's `$`
+    * (end of input only) extract different domains. */
+  private val HostChars = "[^/?# \\t\\r\\n]"
+
   /** Host of an absolute URL (`scheme://host[/...]`); empty when the value
     * is not an absolute URL. The regex is restricted to the
-    * java.util.regex/RE2 common subset (shared with the DuckDB oracle);
-    * whitespace is excluded from the host explicitly — a newline smuggled
-    * into the authority would otherwise make Java's `$` (which matches
-    * before a final line terminator) and RE2's `$` (end of input only)
-    * extract different domains. */
-  val HostPat = "^[A-Za-z][A-Za-z0-9+.-]*://([^/ \\t\\r\\n]+)"
+    * java.util.regex/RE2 common subset (shared with the DuckDB oracle). */
+  val HostPat = s"^[A-Za-z][A-Za-z0-9+.-]*://($HostChars+)"
 
   /** Last two dot-labels of the host. */
   val DomainPat = "([^.]+\\.[^.]+)$"
@@ -96,8 +102,9 @@ object Urls {
   def ccSldsSqlList: String = CcSlds.map(s => s"'$s'").mkString(", ")
 
   /** The `scheme://host` prefix of an absolute URL, as ONE capture —
-    * shared by [[canonicalize]] and the d15 oracle SQL. */
-  val PrePat = "^([A-Za-z][A-Za-z0-9+.-]*://[^/ \\t\\r\\n]+)"
+    * shared by [[canonicalize]] and the d15 oracle SQL; same [[HostChars]]
+    * as [[HostPat]]. */
+  val PrePat = s"^([A-Za-z][A-Za-z0-9+.-]*://$HostChars+)"
 
   def host(urlCol: Column): Column = regexp_extract(urlCol, HostPat, 1)
 
@@ -123,10 +130,13 @@ object Urls {
     * oracle SQL):
     *
     *   1. strip the fragment (`#...`),
-    *   2. lowercase the `scheme://host` prefix (the PATH stays
-    *      case-sensitive — `/Page` and `/page` are different resources),
+    *   2. lowercase the `scheme://host` prefix (the PATH AND QUERY stay
+    *      case-sensitive — `/Page` and `?Session=AbC` are significant),
     *   3. drop explicit default ports (`:80` for http, `:443` for https),
-    *   4. strip trailing slashes.
+    *      whether followed by a path, a query, or nothing,
+    *   4. strip trailing slashes of the PATH (both `/a/` and `/a/?q`
+    *      become `/a...`) — but never slashes inside a query value
+    *      (`?dir=/tmp/` is payload, untouched).
     *
     * Non-absolute-URL values pass through unchanged (same contract as
     * [[host]]). Pure codegen'd expression — a narrow map at any scale. */
@@ -136,9 +146,12 @@ object Urls {
     val rest = regexp_replace(noFrag, PrePat, "")
     val lowered = concat(lower(pre), rest)
     val noPort = regexp_replace(
-      regexp_replace(lowered, "^(http://[^/:]+):80(/|$)", "$1$2"),
-      "^(https://[^/:]+):443(/|$)", "$1$2")
-    val noSlash = regexp_replace(noPort, "/+$", "")
+      regexp_replace(lowered, "^(http://[^/:?]+):80([/?]|$)", "$1$2"),
+      "^(https://[^/:?]+):443([/?]|$)", "$1$2")
+    // trailing PATH slashes only: the lazy [^?]*? pins the /+ run to the
+    // position right before the query (or end), so query-internal slashes
+    // never match
+    val noSlash = regexp_replace(noPort, "^([^?]*?)/+(\\?.*)?$", "$1$2")
     when(pre === "", urlCol).otherwise(noSlash)
   }
 

@@ -177,16 +177,20 @@ object Curate {
     require(opts.cap > 0, s"cap must be positive: ${opts.cap}")
     def tap(df: DataFrame, stage: String): DataFrame =
       metrics.map(_.attach(df, stage)).getOrElse(df)
-    val finished = tap(data.where(col("status") === "finished")
+    // raw (metrics-free) twins of the first two stages exist because the
+    // near-dedup stage below runs EAGER actions over them — see its note
+    val finishedRaw = data.where(col("status") === "finished")
       .select(col("url"), col("warc_ts"), col("mimeType"), col("textBytes"),
         col("text").cast("string").as("text"),
-        Urls.registeredDomain(col("url")).as("domain")), "finished")
+        Urls.registeredDomain(col("url")).as("domain"))
+    val finished = tap(finishedRaw, "finished")
     // exact dedup, payloads never shuffled: winners on 24-byte key rows
-    val winners = finished
+    val winners = finishedRaw
       .select((col("url") +: Dedup.exactKeyCols(col("text"))): _*)
       .groupBy(col("_h1"), col("_h2"), col("_len"))
       .agg(min(col("url")).as("url"))
       .select("url")
+    val dedupedRaw = finishedRaw.join(winners, Seq("url"), "left_semi")
     val deduped = tap(finished.join(winners, Seq("url"), "left_semi"), "deduped")
     // fuzzy (MinHash-LSH) near-dedup over the exact-dedup representatives —
     // the d05+d09 composition: candidate pairs at the Jaccard threshold,
@@ -195,17 +199,34 @@ object Curate {
     // Stage ORDER is the documented d05 precondition: exact dedup first,
     // and near-dedup BEFORE passage dedup (near-identical copies would
     // otherwise make all their paragraphs hot and annihilate every copy).
-    // NOTE: Dedup.clusters runs its label-propagation loop eagerly
-    // (actions + a reliable checkpoint), so enabling this stage makes
-    // curate() partially eager rather than one lazy plan.
+    //
+    // Dedup.clusters runs EAGER actions (propagation rounds + limit(1)
+    // convergence probes), so they execute over a METRICS-FREE, CACHED
+    // twin of the deduped frame: (a) a limit-stopped probe that evaluated
+    // a CollectMetrics node would lock PARTIAL counts into the stage
+    // Observations ("first action wins"); (b) without the cache every
+    // probe/round would recompute the upstream scan — in streaming, the
+    // whole batch extraction — several times over.
     val fuzzy = opts.nearDedup match {
       case None => deduped
       case Some(th) =>
-        val docs = deduped.select(col("url"), col("text"))
-        val pairs = Dedup.minhashPairs(docs, idCol = "url", textCol = "text",
-          threshold = th)
-        val reps = Dedup.clusters(docs, pairs, idCol = "url")
-          .select(col("cluster_id").as("url")).distinct()
+        val cached = dedupedRaw.select(col("url"), col("text"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val reps =
+          try {
+            val pairs = Dedup.minhashPairs(cached, idCol = "url",
+              textCol = "text", threshold = th)
+            // maxRounds 50: propagation needs O(component diameter) rounds
+            // and legitimate near-dup chains (incrementally edited
+            // boilerplate families) can be deep — the default 10 is tuned
+            // for the standalone d09 query's shallow planted clusters
+            Dedup.clusters(cached, pairs, idCol = "url", maxRounds = 50)
+              .select(col("cluster_id").as("url")).distinct()
+          } finally cached.unpersist()
+        // safe to unpersist already: clusters returned a RELIABLE
+        // checkpoint (file-backed, independent of the cache), so the lazy
+        // distinct above stays valid; the final write then computes the
+        // tapped chain exactly once, like every other stage combination
         tap(deduped.join(reps, Seq("url"), "left_semi"), "near-deduped")
     }
     // passage dedup over the REPRESENTATIVES only. A doc whose EVERY

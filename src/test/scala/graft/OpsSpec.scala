@@ -412,6 +412,12 @@ class OpsSpec extends AnyFunSuite {
       "https://a.test:8080/x" -> "https://a.test:8080/x", // non-default port kept
       "https://a.test/x#frag" -> "https://a.test/x",
       "https://a.test/" -> "https://a.test",
+      // query strings: never lowercased, never slash-stripped inside;
+      // path-less host?query must not swallow the query into the host
+      "https://A.Test?Session=AbC" -> "https://a.test?Session=AbC",
+      "https://a.test:443?x=1" -> "https://a.test?x=1",
+      "https://a.test/search?dir=/tmp/" -> "https://a.test/search?dir=/tmp/",
+      "https://a.test/p/?x=1" -> "https://a.test/p?x=1", // path slash before query
       "not a url" -> "not a url")
     val got = cases.map(_._1).map(Tuple1.apply).toDF("u")
       .select(Urls.canonicalize(col("u"))).collect().map(_.getString(0))
