@@ -222,12 +222,19 @@ object Dedup {
   }
 
   /** Near-dup clusters from verified pairs: min-label propagation over the
-    * pair graph to a FIXPOINT (connected components). Each round is one
-    * shuffle; convergence is checked with a cheap changed-count action and
-    * the loop is capped at `maxRounds` (label-propagation converges in
-    * O(graph diameter) rounds; near-dup components are shallow, so 2-3
-    * rounds typical — the cap is a runaway guard, and hitting it raises
-    * rather than silently returning partial clusters).
+    * pair graph to a FIXPOINT (connected components), accelerated with
+    * POINTER JUMPING — each round takes the min of (own label, the
+    * neighbors' labels, AND the label's own current label), the classic
+    * PRAM path-halving step used by MapReduce connected-components
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014): label-chasing distance halves per round, so convergence
+    * is O(log diameter) rounds instead of O(diameter) — a 1000-link chain
+    * of incrementally-edited boilerplate pages resolves in ~10 rounds,
+    * not 1000 shuffles. Each round is two narrow-row shuffles (neighbor
+    * min + the jump lookup); convergence is checked with a cheap
+    * changed-count action and the loop is capped at `maxRounds` (the cap
+    * is a runaway guard supporting diameter ~2^maxRounds, and hitting it
+    * raises rather than silently returning partial clusters).
     *
     * The fixpoint is materialized via a RELIABLE checkpoint before the loop
     * caches are released: returning the cached plan itself would leak one
@@ -252,9 +259,19 @@ object Dedup {
         while (!converged && i < maxRounds) {
           val neighborMin = edges.join(labels, edges("b") === labels("id"))
             .groupBy(edges("a").as("id2")).agg(min(col("cluster")).as("nmin"))
-          val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
+          val stepped = labels.join(neighborMin, labels("id") === col("id2"), "left")
             .select(col("id"),
               least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+          // pointer jump: also adopt the label's OWN current label
+          // (labels are node ids, so cluster is a valid lookup key); min
+          // with a stale-but-monotone label is still an upper bound on the
+          // component min, so correctness is unchanged and the chase
+          // distance halves per round
+          val next = stepped.as("s")
+            .join(labels.as("l2"), col("s.cluster") === col("l2.id"), "left")
+            .select(col("s.id").as("id"),
+              least(col("s.cluster"), coalesce(col("l2.cluster"), col("s.cluster")))
+                .as("cluster"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           // a failure in the convergence count must release `next` too —
           // at that point it is persisted but not yet owned by `labels`

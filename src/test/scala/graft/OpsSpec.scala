@@ -373,6 +373,20 @@ class OpsSpec extends AnyFunSuite {
     assert(out(100L) == ((2L, "only here\nsolo text")))
   }
 
+  test("dedup clusters: pointer jumping resolves a deep chain within the round cap") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // a 30-node chain has diameter 29: plain min-label propagation needs
+    // 29 rounds and would blow the default maxRounds=10 cap — the
+    // path-halving step must bring it home in O(log 30) ~ 6 rounds
+    val n = 30L
+    val ids = (0L until n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val cl = Dedup.clusters(ids, chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.values.toSet == Set(0L), s"chain must collapse to component 0: $cl")
+  }
+
   test("dedup clusters: repeated invocations init the checkpoint fallback at most once") {
     val spark = TestSpark.spark
     import spark.implicits._
