@@ -338,10 +338,11 @@ object SparkEntry {
     }),
     "d15_url_canon" -> ((s, d) => {
       // URL canonicalization (the C4-style pre-dedup normalization): both
-      // engines derive the SAME five messy variants of every corpus url
+      // engines derive the SAME six messy variants of every corpus url
       // (identity, fragment anchor, uppercased scheme://host, explicit
-      // default port, trailing slash) and canonicalize them with the same
-      // RE2-compatible rule chain — every variant row value-compared.
+      // default port, trailing slash, query string) and canonicalize them
+      // with the same RE2-compatible rule chain — every variant row
+      // value-compared.
       val p = pages(s, d).select(col("url"))
       val variants = p.select(explode(array(
         col("url"),
@@ -816,7 +817,7 @@ object SparkEntry {
         | FROM d)
         |SELECT doc_id, lang, n_tokens, running_tokens
         |FROM r WHERE running_tokens <= 50000 ORDER BY lang, doc_id""".stripMargin,
-    // url canonicalization: DuckDB re-derives the same five variants per
+    // url canonicalization: DuckDB re-derives the same six variants per
     // corpus url and re-runs the same rule chain (strip fragment,
     // lowercase scheme://host, drop default ports, strip trailing
     // slashes; non-URLs unchanged) — replacement backrefs are \1-style in

@@ -231,10 +231,13 @@ object Dedup {
     * is O(log diameter) rounds instead of O(diameter) — a 1000-link chain
     * of incrementally-edited boilerplate pages resolves in ~10 rounds,
     * not 1000 shuffles. Each round is two narrow-row shuffles (neighbor
-    * min + the jump lookup); convergence is checked with a cheap
-    * changed-count action and the loop is capped at `maxRounds` (the cap
-    * is a runaway guard supporting diameter ~2^maxRounds, and hitting it
-    * raises rather than silently returning partial clusters).
+    * min + the jump lookup) over ONLY the pair-touched node set —
+    * singletons (the overwhelming majority at web dup rates) never enter
+    * the loop and rejoin as (id, id) at the end. Convergence is checked
+    * with a changed-count action after fully materializing the round's
+    * cache, and the loop is capped at `maxRounds` (the cap is a runaway
+    * guard supporting diameter ~2^maxRounds, and hitting it raises rather
+    * than silently returning partial clusters).
     *
     * The fixpoint is materialized via a RELIABLE checkpoint before the loop
     * caches are released: returning the cached plan itself would leak one
@@ -251,54 +254,77 @@ object Dedup {
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = docs.select(col(idCol).as("id"), col(idCol).as("cluster"))
+      // the loop runs ONLY over nodes that have at least one edge: at web
+      // dup rates the pair-touched set is orders of magnitude smaller than
+      // the corpus, and a singleton's label provably never changes — it
+      // rejoins the output as (id, id) after convergence, instead of
+      // paying the full-corpus shuffles every round
+      val docIds = docs.select(col(idCol).as("id"))
+      val touched = docIds
+        .join(edges.select(col("a").as("id")).distinct(), Seq("id"), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        var converged = false
-        var i = 0
-        while (!converged && i < maxRounds) {
-          val neighborMin = edges.join(labels, edges("b") === labels("id"))
-            .groupBy(edges("a").as("id2")).agg(min(col("cluster")).as("nmin"))
-          val stepped = labels.join(neighborMin, labels("id") === col("id2"), "left")
-            .select(col("id"),
-              least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
-          // pointer jump: also adopt the label's OWN current label
-          // (labels are node ids, so cluster is a valid lookup key); min
-          // with a stale-but-monotone label is still an upper bound on the
-          // component min, so correctness is unchanged and the chase
-          // distance halves per round
-          val next = stepped.as("s")
-            .join(labels.as("l2"), col("s.cluster") === col("l2.id"), "left")
-            .select(col("s.id").as("id"),
-              least(col("s.cluster"), coalesce(col("l2.cluster"), col("s.cluster")))
-                .as("cluster"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          // a failure in the convergence count must release `next` too —
-          // at that point it is persisted but not yet owned by `labels`
-          val changed =
-            try next.as("n").join(labels.as("p"), col("n.id") === col("p.id"))
-              .where(col("n.cluster") =!= col("p.cluster")).limit(1).count()
-            catch { case t: Throwable => next.unpersist(); throw t }
-          labels.unpersist()
-          labels = next
-          converged = changed == 0
-          i += 1
-        }
-        require(converged, s"label propagation did not converge in $maxRounds rounds")
-        if (sc.getCheckpointDir.isEmpty) {
-          // driver-LOCAL fallback: correct in local mode only. Loud by
-          // design — a real cluster that forgot setCheckpointDir must see a
-          // signal, not silently inherit a driver-local path via scaladoc.
-          log.warn("[graft] no checkpoint dir set; clusters() falls back " +
-            s"to driver-local $fallbackCheckpointDir — call " +
-            "sparkContext.setCheckpointDir(<shared storage>) on a cluster")
-          sc.setCheckpointDir(fallbackCheckpointDir.toString)
-        }
-        // eager file-backed materialization computed from the still-cached
-        // labels; after it, no persisted RDD from this call remains
-        labels.select(col("id").as(idCol), col("cluster").as("cluster_id"))
-          .checkpoint()
-      } finally labels.unpersist()
+        var labels = touched.select(col("id"), col("id").as("cluster"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          var converged = false
+          var i = 0
+          while (!converged && i < maxRounds) {
+            val neighborMin = edges.join(labels, edges("b") === labels("id"))
+              .groupBy(edges("a").as("id2")).agg(min(col("cluster")).as("nmin"))
+            val stepped = labels.join(neighborMin, labels("id") === col("id2"), "left")
+              .select(col("id"),
+                least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+            // pointer jump: also adopt the label's OWN current label
+            // (labels are node ids of touched nodes, so cluster is a valid
+            // lookup key); min with a stale-but-monotone label is still an
+            // upper bound on the component min, so correctness is
+            // unchanged and the chase distance halves per round
+            val next = stepped.as("s")
+              .join(labels.as("l2"), col("s.cluster") === col("l2.id"), "left")
+              .select(col("s.id").as("id"),
+                least(col("s.cluster"), coalesce(col("l2.cluster"), col("s.cluster")))
+                  .as("cluster"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            // a failure in an action must release `next` too — at that
+            // point it is persisted but not yet owned by `labels`
+            val changed =
+              try {
+                // fully materialize next's cache BEFORE releasing the old
+                // labels: the convergence probe below early-stops on the
+                // first differing row and may compute only a few
+                // partitions — dropping the previous round on a partial
+                // cache would leave later rounds re-deriving the whole
+                // round lineage from the source (O(rounds^2) replays)
+                next.count()
+                next.as("n").join(labels.as("p"), col("n.id") === col("p.id"))
+                  .where(col("n.cluster") =!= col("p.cluster")).limit(1).count()
+              } catch { case t: Throwable => next.unpersist(); throw t }
+            labels.unpersist()
+            labels = next
+            converged = changed == 0
+            i += 1
+          }
+          require(converged, s"label propagation did not converge in $maxRounds rounds")
+          if (sc.getCheckpointDir.isEmpty) {
+            // driver-LOCAL fallback: correct in local mode only. Loud by
+            // design — a real cluster that forgot setCheckpointDir must see
+            // a signal, not silently inherit a driver-local path via
+            // scaladoc.
+            log.warn("[graft] no checkpoint dir set; clusters() falls back " +
+              s"to driver-local $fallbackCheckpointDir — call " +
+              "sparkContext.setCheckpointDir(<shared storage>) on a cluster")
+            sc.setCheckpointDir(fallbackCheckpointDir.toString)
+          }
+          // eager file-backed materialization computed from the still-cached
+          // labels + the untouched singletons; after it, no persisted RDD
+          // from this call remains
+          labels.select(col("id").as(idCol), col("cluster").as("cluster_id"))
+            .unionByName(docIds.join(touched, Seq("id"), "left_anti")
+              .select(col("id").as(idCol), col("id").as("cluster_id")))
+            .checkpoint()
+        } finally labels.unpersist()
+      } finally touched.unpersist()
     } finally edges.unpersist()
   }
 

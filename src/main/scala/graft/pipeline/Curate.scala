@@ -216,10 +216,10 @@ object Curate {
           try {
             val pairs = Dedup.minhashPairs(cached, idCol = "url",
               textCol = "text", threshold = th)
-            // maxRounds 50: propagation needs O(component diameter) rounds
-            // and legitimate near-dup chains (incrementally edited
-            // boilerplate families) can be deep — the default 10 is tuned
-            // for the standalone d09 query's shallow planted clusters
+            // maxRounds 50: with pointer jumping the cap supports
+            // component diameter ~2^49 — effectively unbounded. Kept far
+            // above the default 10 because hitting the cap ABORTS the
+            // whole curate job, and rounds beyond convergence cost nothing
             Dedup.clusters(cached, pairs, idCol = "url", maxRounds = 50)
               .select(col("cluster_id").as("url")).distinct()
           } finally cached.unpersist()
