@@ -780,7 +780,7 @@ object SparkEntry {
     // and the blocklist flag from the pages cache
     "d13_domains" ->
       s"""WITH h AS (SELECT url, warc_ts,
-         |    regexp_extract(url, '${graft.ops.Urls.HostPat}', 1) AS host
+         |    lower(regexp_extract(url, '${graft.ops.Urls.HostPat}', 1)) AS host
          |  FROM read_parquet('$VerifyPagesGlob')),
          |p AS (SELECT url, warc_ts,
          |    CASE WHEN regexp_extract(host, '${graft.ops.Urls.Domain3Pat}', 1) <> ''

@@ -108,15 +108,19 @@ object Urls {
 
   def host(urlCol: Column): Column = regexp_extract(urlCol, HostPat, 1)
 
-  /** Registered domain: last two labels of the host — unless those two
-    * labels are a known two-label public suffix (the [[CcSlds]] table), in
-    * which case the registered domain is the last THREE labels
+  /** Registered domain: last two labels of the LOWERCASED host — unless
+    * those two labels are a known two-label public suffix (the [[CcSlds]]
+    * table), in which case the registered domain is the last THREE labels
     * (`news.bbc.co.uk` -> `bbc.co.uk`, not `co.uk`). A host that IS a bare
     * public suffix (`co.uk` alone, no third label) falls back to itself.
+    * DNS names are case-insensitive, so the host is lowercased BEFORE
+    * extraction — without it, a crawl spelling a host `EXAMPLE-3.TEST`
+    * would slip past the blocklist and split the per-domain cap (and the
+    * ccSLD IN-list, which is lowercase, would never match `Co.UK`).
     * Pure codegen'd expression: two anchored regex extracts + an IN-list;
     * the (sorted, deduped) lookup is a constant, so Catalyst folds it. */
   def registeredDomain(urlCol: Column): Column = {
-    val h = host(urlCol)
+    val h = lower(host(urlCol))
     val last2 = regexp_extract(h, DomainPat, 1)
     val last3 = regexp_extract(h, Domain3Pat, 1)
     when(last3 =!= "" && last2.isin(CcSlds: _*), last3).otherwise(last2)

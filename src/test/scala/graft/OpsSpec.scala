@@ -436,6 +436,12 @@ class OpsSpec extends AnyFunSuite {
     val got = cases.map(_._1).map(Tuple1.apply).toDF("u")
       .select(Urls.canonicalize(col("u"))).collect().map(_.getString(0))
     assert(got.toSeq == cases.map(_._2), got.toSeq)
+    // IDEMPOTENCE — the property a dedup key needs: re-normalizing an
+    // already-canonical url must be the identity
+    val twice = cases.map(_._1).map(Tuple1.apply).toDF("u")
+      .select(Urls.canonicalize(Urls.canonicalize(col("u"))))
+      .collect().map(_.getString(0))
+    assert(twice.toSeq == got.toSeq, "canonicalize must be idempotent")
   }
 
   test("urls: registered domain, blocklist filter, per-domain cap") {
@@ -457,11 +463,16 @@ class OpsSpec extends AnyFunSuite {
       "https://news.bbc.co.uk/story",       // -> bbc.co.uk (not co.uk)
       "https://a.b.shop.example.com.au/x",  // deep subdomains -> 3 labels
       "https://co.uk/",                     // bare suffix -> itself
-      "https://deep.sub.example.org/y")     // non-ccSLD -> 2 labels
+      "https://deep.sub.example.org/y",     // non-ccSLD -> 2 labels
+      // DNS is case-insensitive: mixed-case hosts must collapse to the
+      // same lowercase domain (blocklists/caps would otherwise split)
+      "https://A.Example.TEST/x",
+      "https://News.BBC.Co.UK/x")
       .map(Tuple1.apply).toDF("url")
       .select(Urls.registeredDomain(col("url")).as("d"))
       .collect().map(_.getString(0))
-    assert(cc.toSeq == Seq("bbc.co.uk", "example.com.au", "co.uk", "example.org"))
+    assert(cc.toSeq == Seq("bbc.co.uk", "example.com.au", "co.uk",
+      "example.org", "example.test", "bbc.co.uk"))
     assert(Urls.filterBlocklist(df, "url", Seq("example.test")).count() == 2)
     // cap 2 keeps the two EARLIEST (ts) docs of the 3-doc domain
     val many = Seq(
