@@ -820,9 +820,10 @@ object SparkEntry {
     // url canonicalization: DuckDB re-derives the same six variants per
     // corpus url and re-runs the same rule chain (strip fragment,
     // lowercase scheme://host, drop default ports, strip trailing
-    // slashes; non-URLs unchanged) — replacement backrefs are \1-style in
-    // RE2 vs $1 in java.util.regex, so the replacement literals differ
-    // while the patterns are the shared constants
+    // slashes; non-URLs unchanged). ALL patterns — frag/port/slash
+    // included — are the interpolated shared Urls constants (\z-anchored,
+    // see their doc); only the replacement backref literals differ
+    // (\1-style in RE2 vs $1 in java.util.regex)
     "d15_url_canon" ->
       s"""WITH p AS (SELECT url FROM read_parquet('$VerifyPagesGlob')),
          |v AS (SELECT unnest([
@@ -833,17 +834,17 @@ object SparkEntry {
          |    url || '/',
          |    url || '?Q=Mixed/Case/']) AS u FROM p),
          |x AS (SELECT u,
-         |    regexp_extract(regexp_replace(u, '#.*$$', ''), '${graft.ops.Urls.PrePat}', 1) AS pre,
-         |    regexp_replace(regexp_replace(u, '#.*$$', ''), '${graft.ops.Urls.PrePat}', '') AS rest
+         |    regexp_extract(regexp_replace(u, '${graft.ops.Urls.FragPat}', ''), '${graft.ops.Urls.PrePat}', 1) AS pre,
+         |    regexp_replace(regexp_replace(u, '${graft.ops.Urls.FragPat}', ''), '${graft.ops.Urls.PrePat}', '') AS rest
          |  FROM v)
          |SELECT u,
          | CASE WHEN pre = '' THEN u
          |      ELSE regexp_replace(
          |             regexp_replace(
          |               regexp_replace(lower(pre) || rest,
-         |                 '^(http://[^/:?]+):80([/?]|$$)', '\\1\\2'),
-         |               '^(https://[^/:?]+):443([/?]|$$)', '\\1\\2'),
-         |             '^([^?]*?)/+(\\?.*)?$$', '\\1\\2')
+         |                 '${graft.ops.Urls.PortHttpPat}', '\\1\\2'),
+         |               '${graft.ops.Urls.PortHttpsPat}', '\\1\\2'),
+         |             '${graft.ops.Urls.SlashPat}', '\\1\\2')
          | END AS canon
          |FROM x ORDER BY u, canon""".stripMargin,
     // PII scrubbing: DuckDB recomputes category counts and the redacted

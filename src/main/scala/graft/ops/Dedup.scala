@@ -38,6 +38,33 @@ object Dedup {
     dir
   }
 
+  /** Ensure an RDD checkpoint dir is set (the reliable-checkpoint
+    * precondition shared by [[clusters]] and [[reliableCheckpoint]]): on a
+    * real cluster callers must have called `setCheckpointDir(<shared
+    * storage>)`; when unset, fall back LOUDLY to the per-JVM driver-local
+    * temp dir — correct in local mode only, where executors share the
+    * filesystem. */
+  private def ensureCheckpointDir(sc: org.apache.spark.SparkContext): Unit =
+    if (sc.getCheckpointDir.isEmpty) {
+      log.warn("[graft] no checkpoint dir set; falling back to driver-local " +
+        s"$fallbackCheckpointDir — call sparkContext.setCheckpointDir(" +
+        "<shared storage>) on a cluster")
+      sc.setCheckpointDir(fallbackCheckpointDir.toString)
+    }
+
+  /** Eager, file-backed (reliable) checkpoint of `df` — the bounded-memory
+    * way to pin a frame that downstream EAGER loops will re-read many times
+    * (the curate near-dedup stage): unlike a MEMORY_AND_DISK persist, the
+    * footprint is disk-only and never competes with execution memory for a
+    * corpus-sized cache, and unlike a bare lazy plan, re-reads do not replay
+    * the upstream lineage (in streaming curate: the whole batch
+    * extraction). Reclaimed by the ContextCleaner when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is set (Main does). */
+  def reliableCheckpoint(df: DataFrame): DataFrame = {
+    ensureCheckpointDir(df.sparkSession.sparkContext)
+    df.checkpoint()
+  }
+
   /** Exact dedup on content: keep the smallest id per identical text.
     * At scale this is a single hash-partial/final aggregate on a narrow
     * composite key: TWO independent 64-bit hashes (different seeds) plus the
@@ -306,16 +333,7 @@ object Dedup {
             i += 1
           }
           require(converged, s"label propagation did not converge in $maxRounds rounds")
-          if (sc.getCheckpointDir.isEmpty) {
-            // driver-LOCAL fallback: correct in local mode only. Loud by
-            // design — a real cluster that forgot setCheckpointDir must see
-            // a signal, not silently inherit a driver-local path via
-            // scaladoc.
-            log.warn("[graft] no checkpoint dir set; clusters() falls back " +
-              s"to driver-local $fallbackCheckpointDir — call " +
-              "sparkContext.setCheckpointDir(<shared storage>) on a cluster")
-            sc.setCheckpointDir(fallbackCheckpointDir.toString)
-          }
+          ensureCheckpointDir(sc)
           // eager file-backed materialization computed from the still-cached
           // labels + the untouched singletons; after it, no persisted RDD
           // from this call remains
