@@ -109,7 +109,8 @@ object Main {
               System.err.println(s"[graft] no committed snapshot under ${args(1)}")
               sys.exit(2)
             case Some(r) =>
-              println(s"[graft] curated snapshot ${r.snapshotId}: " +
+              println(s"[graft] curated snapshot ${r.curatedSnapshotId} " +
+                s"(from source snapshot ${r.snapshotId}): " +
                 s"kept=${r.kept} (cap=${opts.cap} per domain, " +
                 s"blocklist=${opts.block.size}) -> ${args(2)}")
               // per-stage survivors, observed during the one write pass

@@ -134,9 +134,17 @@ object StreamingExtract {
     * cross-batch dedup/caps remain a batch/compaction concern, exactly
     * like last-write-wins in [[start]]'s scaladoc.
     *
-    * Each batch overwrites its own `batch-<id>` subdirectory, so a replayed
-    * batch (foreachBatch is at-least-once) lands idempotently; read the
-    * output with a `batch-*` glob. */
+    * Sink protocol (the batch job's snapshot-commit discipline, scaled to
+    * micro-batches): each batch writes into a hidden `.tmp-batch-<id>-*`
+    * dir and ATOMICALLY RENAMES it to `batch-<id>` — a `batch-<id>` dir is
+    * either absent or complete, never half-written, and the `batch-*` read
+    * glob can never see partial output. A replayed batch (foreachBatch is
+    * at-least-once) finds its committed dir already present and skips the
+    * write (batch content is deterministic for a given checkpoint replay,
+    * so keep-first is keep-identical); a crash mid-write leaves only a
+    * hidden tmp dir the glob ignores. Dir renames are atomic on local
+    * filesystems and HDFS; on object stores pair this sink with their
+    * atomic-commit layer. */
   def startCurated(
       spark: SparkSession,
       inputDir: String,
@@ -165,11 +173,35 @@ object StreamingExtract {
     val unique = dedupStream(src, urlDedup, watermark)
     unique.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val extracted = ExtractPipeline.extractStage(
-          batch.select(col("url"), col("warc_ts"), col("html")).as[RawDoc],
-          cfg).toDF()
-        graft.pipeline.Curate.curate(extracted, opts, benchGrams)
-          .write.mode("overwrite").parquet(s"$outputDir/batch-$batchId")
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val committed = Paths.get(outputDir, s"batch-$batchId")
+        if (!Files.exists(committed)) {
+          // the extracted batch is referenced from BOTH curate chains (the
+          // tapped output and the metadata cap-rank twin) — persist it for
+          // the batch's duration so extraction runs once per row, not
+          // twice; a micro-batch (maxFilesPerTrigger-bounded) is safe to
+          // cache at any corpus scale
+          val extracted = ExtractPipeline.extractStage(
+            batch.select(col("url"), col("warc_ts"), col("html")).as[RawDoc],
+            cfg).toDF()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val tmp = Paths.get(outputDir,
+              s".tmp-batch-$batchId-${java.util.UUID.randomUUID()}")
+            graft.pipeline.Curate.curate(extracted, opts, benchGrams)
+              .write.mode("overwrite").parquet(tmp.toString)
+            try Files.move(tmp, committed, StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              // lost a (theoretical) replay race: the other writer's dir
+              // is complete and identical — discard ours
+              case _: java.nio.file.FileAlreadyExistsException |
+                   _: java.nio.file.FileSystemException
+                  if Files.exists(committed) =>
+                Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+                  .forEach(p => Files.deleteIfExists(p))
+            }
+          } finally extracted.unpersist()
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -108,13 +108,17 @@ final class SnapshotTable(val root: String) {
       ids.result()
   }
 
-  /** Append `df` as a new snapshot; returns the committed snapshot id.
-    * Visible only after the atomic CURRENT replace. The manifest row count
-    * is captured DURING the write via `observe` — no re-read of the
-    * freshly-written output (a full extra scan at 100 TB). */
-  def commit(df: DataFrame, meta: Map[String, String] = Map.empty): Long = {
-    val parent = currentSnapshotId.getOrElse(-1L)
-    val id = parent + 1
+  /** Shared commit core: write `df` under snap-`id`, then manifest, then
+    * the atomic CURRENT swap — data is invisible until the swap; a crash
+    * at ANY point leaves the previous CURRENT fully readable (the debris
+    * is an orphan data dir / unreferenced manifest for the cleaner).
+    * `meta` is BY-NAME, evaluated AFTER the data write: lineage values
+    * observed during the write (per-stage curate counts) are complete by
+    * then. The manifest row count is captured DURING the write via
+    * `observe` — no re-read of the freshly-written output (a full extra
+    * scan at 100 TB). */
+  private def writeAndSwap(df: DataFrame, id: Long, parentId: Long,
+      meta: => Map[String, String]): Long = {
     val dir = dataDir(id)
     val obs = org.apache.spark.sql.Observation(s"graft-commit-$id")
     df.observe(obs, org.apache.spark.sql.functions.count(
@@ -123,11 +127,35 @@ final class SnapshotTable(val root: String) {
     val files = listDir(dir)
       .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
     val rows = obs.get("rows").asInstanceOf[Long]
-    writeManifest(Manifest(id, parent, files, rows, meta))
+    writeManifest(Manifest(id, parentId, files, rows, meta))
     val tmp = Paths.get(root, ".CURRENT.tmp")
     Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    id
+  }
+
+  /** Append `df` as a new snapshot; returns the committed snapshot id.
+    * Visible only after the atomic CURRENT replace. */
+  def commit(df: DataFrame, meta: => Map[String, String] = Map.empty): Long = {
+    val parent = currentSnapshotId.getOrElse(-1L)
+    writeAndSwap(df, parent + 1, parent, meta)
+  }
+
+  /** Commit `df` as a REPLACEMENT: the new snapshot becomes a fresh base
+    * (no parent) and the previous chain's manifests + data are swept AFTER
+    * the atomic CURRENT swap. For re-derived product tables — the curated
+    * output, where each job recomputes the WHOLE table rather than
+    * appending an increment (appending would union stale rows into every
+    * read). Same crash guarantee as [[commit]]: until the swap, readers
+    * see the previous table; a kill mid-write leaves orphans, never a
+    * half-replaced table. */
+  def commitReplace(df: DataFrame, meta: => Map[String, String] = Map.empty): Long = {
+    val oldChain = snapshotChain
+    val id = oldChain.headOption.getOrElse(-1L) + 1
+    writeAndSwap(df, id, -1L, meta)
+    oldChain.foreach(old => Files.deleteIfExists(manifestPath(old)))
+    sweepOrphans()
     id
   }
 
@@ -150,24 +178,7 @@ final class SnapshotTable(val root: String) {
   def compact(spark: SparkSession, meta: Map[String, String] = Map.empty): Long = {
     val current = read(spark).getOrElse(
       throw new IllegalStateException("nothing committed; cannot compact"))
-    val oldChain = snapshotChain
-    val id = oldChain.head + 1
-    val dir = dataDir(id)
-    val obs = org.apache.spark.sql.Observation(s"graft-compact-$id")
-    current.observe(obs, org.apache.spark.sql.functions.count(
-      org.apache.spark.sql.functions.lit(1)).as("rows"))
-      .write.mode("overwrite").parquet(dir.toString)
-    val files = listDir(dir)
-      .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
-    val rows = obs.get("rows").asInstanceOf[Long]
-    writeManifest(Manifest(id, -1L, files, rows, meta)) // -1: new base, no parent
-    val tmp = Paths.get(root, ".CURRENT.tmp")
-    Files.write(tmp, id.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    oldChain.foreach(old => Files.deleteIfExists(manifestPath(old)))
-    sweepOrphans()
-    id
+    commitReplace(current, meta) // rewrite-as-of-CURRENT is a replacement
   }
 
   /** Delete data dirs not referenced by any manifest in the CURRENT chain —

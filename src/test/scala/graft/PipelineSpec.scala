@@ -211,7 +211,16 @@ class PipelineSpec extends AnyFunSuite {
       Seq("finished", "deduped", "para-deduped", "unblocked"), stages)
     assert(stages.map(_._2) == stages.map(_._2).sorted.reverse, stages)
     assert(stages.last._2 >= res.get.kept)
-    val cur = spark.read.parquet(s"$tmp/curated")
+    // curated output is a committed SNAPSHOT table (atomic manifest +
+    // CURRENT), not a bare parquet dir — with full lineage in the manifest
+    val curTable = new graft.table.SnapshotTable(s"$tmp/curated")
+    assert(curTable.currentSnapshotId.contains(res.get.curatedSnapshotId))
+    val manifest = curTable.readManifest(res.get.curatedSnapshotId)
+    assert(manifest.rowCount == res.get.kept)
+    assert(manifest.meta("sourceSnapshot") == id.toString)
+    assert(manifest.meta("job") == "curate")
+    assert(manifest.meta.contains("stage.finished"), manifest.meta)
+    val cur = curTable.read(spark).get
     assert(cur.where(col("domain") === "example-3.test").count() == 0)
     assert(cur.groupBy("domain").count()
       .agg(max("count")).head().getLong(0) <= 10)

@@ -95,6 +95,31 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read(spark).get.count() == 5)
   }
 
+  test("commitReplace swaps the whole table atomically; failure keeps the old one") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = new SnapshotTable(tmpDir())
+    t.commit(Seq(("a", 1L), ("b", 2L)).toDF("url", "v"))
+    // replace: the new content is the WHOLE table (no union with snap-0)
+    val id = t.commitReplace(Seq(("c", 3L)).toDF("url", "v"),
+      meta = Map("job" -> "curate"))
+    assert(id == 1L && t.snapshotChain == Seq(1L))
+    assert(t.read(spark).get.collect().map(_.getString(0)).toSeq == Seq("c"))
+    assert(t.readManifest(1L).meta("job") == "curate")
+    // old base is swept (data + manifest)
+    assert(!Files.exists(java.nio.file.Paths.get(t.root, "data", "snap-0")))
+    // a KILLED replace (write throws mid-job) must leave the committed
+    // table fully readable: no manifest, CURRENT untouched, only orphans
+    val boom = spark.range(10).select(col("id").cast("string").as("url"),
+      when(col("id") < 5, col("id"))
+        .otherwise(raise_error(lit("mid-write failure")).cast("long")).as("v"))
+    intercept[Exception] { t.commitReplace(boom) }
+    assert(t.currentSnapshotId.contains(1L), "CURRENT must be untouched")
+    assert(t.read(spark).get.collect().map(_.getString(0)).toSeq == Seq("c"))
+    t.sweepOrphans()
+    assert(t.read(spark).get.count() == 1)
+  }
+
   test("binaryFile ingest produces pages-shaped rows the pipeline accepts") {
     val spark = TestSpark.spark
     val dir = java.nio.file.Files.createTempDirectory("graft-raw")
