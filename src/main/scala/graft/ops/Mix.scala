@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: one shuffle on the group key. Use a FINE-GRAINED group
   * (registered domain, (lang, source) pairs) at corpus scale — the running
   * sum is a per-group ordered prefix, so a group's rows sort inside one
-  * task's spill budget exactly like the capPerDomain window; a
+  * task's spill budget exactly like the capPerDomain window. A
   * handful-of-groups key (bare lang over the whole crawl) concentrates the
-  * corpus into that many tasks and is the documented anti-pattern.
+  * corpus into that many window tasks — the anti-pattern; for such keys
+  * use [[Mix.tokenBudgetPerGroupBucketed]], the two-phase prefix sum that
+  * spreads the sort over (group x bucket) tasks and reconciles exact
+  * running totals with a tiny per-bucket offset frame.
   */
 object Mix {
 
@@ -23,7 +26,11 @@ object Mix {
     * `running <= budget` IS the prefix rule: the first overflowing doc and
     * everything after it are dropped. Returns the input columns plus
     * `running_tokens` (the inclusive per-group prefix sum — kept in the
-    * output so budget accounting is auditable downstream). */
+    * output so budget accounting is auditable downstream).
+    *
+    * One window per group key: right when groups are fine-grained (domains,
+    * (lang, source) pairs). For COARSE keys use
+    * [[tokenBudgetPerGroupBucketed]] — see the object doc. */
   def tokenBudgetPerGroup(df: DataFrame, groupCol: Column,
       orderBy: Seq[Column], tokensCol: Column, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
@@ -31,5 +38,41 @@ object Mix {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("running_tokens", sum(tokensCol).over(w))
       .where(col("running_tokens") <= budget)
+  }
+
+  /** Two-phase (bucketed) [[tokenBudgetPerGroup]] for COARSE group keys —
+    * identical output, different plan: instead of sorting each group's
+    * whole row set inside one window task (a corpus-in-N-tasks bottleneck
+    * when N = a handful of languages), phase 1 computes within-(group,
+    * bucket) running sums — the big sort, spread over #groups x #buckets
+    * tasks — and phase 2 window-sums the per-bucket TOTALS into exclusive
+    * per-group offsets (a #groups x #buckets frame, metadata-sized at any
+    * corpus scale) that are joined back and added.
+    *
+    * `bucketCol` must be ORDER-ALIGNED with `orderBy` within each group:
+    * orderBy(r1) <= orderBy(r2) must imply bucket(r1) <= bucket(r2) —
+    * e.g. a coarse prefix of the order key (`doc_id / 1000000`, a crawl
+    * date when ordering by timestamp). Alignment is what makes
+    * offset + within-bucket-running equal the global running sum exactly.
+    * Pinned equal to the window formulation in OpsSpec. */
+  def tokenBudgetPerGroupBucketed(df: DataFrame, groupCol: Column,
+      bucketCol: Column, orderBy: Seq[Column], tokensCol: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val keyed = df.withColumn("_grp", groupCol).withColumn("_bkt", bucketCol)
+    val wIn = Window.partitionBy(col("_grp"), col("_bkt")).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = keyed.withColumn("_within", sum(tokensCol).over(wIn))
+    // exclusive prefix of bucket totals per group — the tiny frame
+    val wOff = Window.partitionBy(col("_grp")).orderBy(col("_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("_grp"), col("_bkt"))
+      .agg(sum(tokensCol).as("_bktTotal"))
+      .withColumn("_offset", coalesce(sum(col("_bktTotal")).over(wOff), lit(0L)))
+      .select(col("_grp"), col("_bkt"), col("_offset"))
+    within.join(offsets, Seq("_grp", "_bkt"))
+      .withColumn("running_tokens", col("_offset") + col("_within"))
+      .where(col("running_tokens") <= budget)
+      .select(df.columns.map(col).toSeq :+ col("running_tokens"): _*)
   }
 }

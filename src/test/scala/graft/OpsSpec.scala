@@ -415,6 +415,29 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(("a", 1L, 40L), ("a", 2L, 100L), ("b", 1L, 100L)), kept)
   }
 
+  test("mix: bucketed two-phase budget equals the window formulation") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // coarse groups (2 langs), many rows, awkward token sizes; bucket =
+    // id / 7 is order-aligned with the id ordering
+    val df = (1 to 200).map(i =>
+      (if (i % 2 == 0) "en" else "fi", i.toLong, (i * 13 % 37).toLong))
+      .toDF("g", "id", "n").repartition(8)
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select("g", "id", "n", "running_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val win = graft.ops.Mix.tokenBudgetPerGroup(df, col("g"),
+      Seq(col("id")), col("n"), budget = 700L)
+    val bkt = graft.ops.Mix.tokenBudgetPerGroupBucketed(df, col("g"),
+      col("id") / 7, Seq(col("id")), col("n"), budget = 700L)
+    assert(rows(bkt) == rows(win), "two-phase must equal the window plan")
+    assert(rows(win).nonEmpty && rows(win).size < 200, "budget must bite")
+    // a degenerate single bucket also matches (pure offset-0 path)
+    val one = graft.ops.Mix.tokenBudgetPerGroupBucketed(df, col("g"),
+      lit(0), Seq(col("id")), col("n"), budget = 700L)
+    assert(rows(one) == rows(win))
+  }
+
   test("urls: canonicalize strips fragments/ports/slashes, lowercases prefix only") {
     val spark = TestSpark.spark
     import spark.implicits._
