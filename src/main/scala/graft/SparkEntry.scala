@@ -850,24 +850,32 @@ object SparkEntry {
     // PII scrubbing: DuckDB recomputes category counts and the redacted
     // length from the exported extracted text with the SAME patterns
     // (restricted to the java.regex/RE2 common subset) under the same
-    // SEQUENTIAL-REDACTION semantics — phones counted on the
-    // email-masked text, IPs on the email+phone-masked text, so an
-    // email's digits never double-count as a phone/IP (the partition the
-    // engine's fused one-pass PiiScan matcher computes)
+    // SEQUENTIAL-REDACTION semantics — phones counted on the email-masked
+    // text, IPv6 on that, IPv4 on the IPv6-masked text, cards last — so
+    // an email's digits never double-count as a phone/IP/card (the exact
+    // pass chain the engine's native PiiScan expression runs)
     "d12_pii" ->
       s"""SELECT url,
          | len(regexp_extract_all(text, '${graft.ops.TextStats.EmailPat}')) AS n_emails,
          | len(regexp_extract_all(r1, '${graft.ops.TextStats.PhonePat}')) AS n_phones,
-         | len(regexp_extract_all(r2, '${graft.ops.TextStats.Ipv4Pat}')) AS n_ipv4,
-         | LENGTH(regexp_replace(r2, '${graft.ops.TextStats.Ipv4Pat}',
-         |   '${org.apache.spark.sql.graftexpr.PiiScan.IpToken}', 'g')) AS redacted_chars
-         |FROM (SELECT url, text, r1,
-         |   regexp_replace(r1, '${graft.ops.TextStats.PhonePat}',
-         |     '${org.apache.spark.sql.graftexpr.PiiScan.PhoneToken}', 'g') AS r2
-         | FROM (SELECT url, text,
-         |    regexp_replace(text, '${graft.ops.TextStats.EmailPat}',
-         |      '${org.apache.spark.sql.graftexpr.PiiScan.EmailToken}', 'g') AS r1
-         |  FROM read_parquet('$ExportRoot/d12text/*.parquet')))
+         | len(regexp_extract_all(r3, '${graft.ops.TextStats.Ipv4Pat}')) AS n_ipv4,
+         | len(regexp_extract_all(r2, '${graft.ops.TextStats.Ipv6Pat}')) AS n_ipv6,
+         | len(regexp_extract_all(r4, '${graft.ops.TextStats.CardPat}')) AS n_card,
+         | LENGTH(regexp_replace(r4, '${graft.ops.TextStats.CardPat}',
+         |   '${org.apache.spark.sql.graftexpr.PiiScan.CardToken}', 'g')) AS redacted_chars
+         |FROM (SELECT url, text, r1, r2, r3,
+         |   regexp_replace(r3, '${graft.ops.TextStats.Ipv4Pat}',
+         |     '${org.apache.spark.sql.graftexpr.PiiScan.IpToken}', 'g') AS r4
+         | FROM (SELECT url, text, r1, r2,
+         |    regexp_replace(r2, '${graft.ops.TextStats.Ipv6Pat}',
+         |      '${org.apache.spark.sql.graftexpr.PiiScan.Ipv6Token}', 'g') AS r3
+         |  FROM (SELECT url, text, r1,
+         |     regexp_replace(r1, '${graft.ops.TextStats.PhonePat}',
+         |       '${org.apache.spark.sql.graftexpr.PiiScan.PhoneToken}', 'g') AS r2
+         |   FROM (SELECT url, text,
+         |      regexp_replace(text, '${graft.ops.TextStats.EmailPat}',
+         |        '${org.apache.spark.sql.graftexpr.PiiScan.EmailToken}', 'g') AS r1
+         |    FROM read_parquet('$ExportRoot/d12text/*.parquet')))))
          |ORDER BY url""".stripMargin,
     // sign-LSH ANN: the seeded hyperplanes are a PURE function (no data),
     // so they are baked into the SQL as literals and DuckDB recomputes the

@@ -64,8 +64,12 @@ object PagesGen {
     * c11: the key%7==5 host becomes a ccSLD host with a subdomain
     * (`news.example-5.co.uk`) so PSL-aware registered-domain extraction
     * (Urls.CcSlds) is corpus-exercised: the registered domain must be the
-    * THREE-label `example-5.co.uk`, not `co.uk`. */
-  val CorpusVersion = "c11"
+    * THREE-label `example-5.co.uk`, not `co.uk`.
+    * c12: ~40% of planted PII sentences additionally carry an IPv6
+    * address (compressed form) and a space-grouped payment-card number —
+    * the r6 PiiScan categories, exercised on text that survives
+    * boilerplate removal. */
+  val CorpusVersion = "c12"
 
   // fixed multilingual word pools (fi / sv / en flavor for `lang` variety)
   private val WordsEn = Array(
@@ -313,15 +317,25 @@ object PagesGen {
   }
 
   /** Planted PII (ASCII-only so the Java-regex and RE2 oracles agree on
-    * every char class): email, international-format phone, IPv4. Appended
-    * INSIDE a long content paragraph so boilerplate removal keeps it. */
+    * every char class): email, international-format phone, IPv4 — and in
+    * ~40% of cases an IPv6 (compressed form) plus a space-grouped card
+    * number (c12). Appended INSIDE a long content paragraph so
+    * boilerplate removal keeps it. */
   private def piiSentence(r: Rng): String = {
     val u = WordsEn(r.nextInt(WordsEn.length))
     val u2 = WordsEn(r.nextInt(WordsEn.length))
     val dom = WordsEn(r.nextInt(WordsEn.length))
     val phone = "+3584" + (1000000 + r.nextInt(9000000))
     val ip = s"10.${r.nextInt(256)}.${r.nextInt(256)}.${r.nextInt(256)}"
-    s"Contact $u.$u2@$dom.example, tel $phone, host $ip."
+    val base = s"Contact $u.$u2@$dom.example, tel $phone, host $ip."
+    if (!r.nextBool(0.4)) base
+    else {
+      def hx() = Integer.toHexString(1 + r.nextInt(0xffff))
+      val v6 = s"2001:db8:${hx()}:${hx()}::${hx()}"
+      val card = s"4${100 + r.nextInt(900)} ${1000 + r.nextInt(9000)} " +
+        s"${1000 + r.nextInt(9000)} ${1000 + r.nextInt(9000)}"
+      s"$base Node $v6, card $card."
+    }
   }
 
   /** FIXED cross-page disclaimer paragraphs: in-article boilerplate that

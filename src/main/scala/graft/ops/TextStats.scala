@@ -229,31 +229,48 @@ object TextStats {
   /** Conservative PII patterns, deliberately restricted to syntax both
     * java.util.regex (Spark codegen) and RE2 (the DuckDB oracle) evaluate
     * identically: no word boundaries, no lookaround, no backrefs. ASCII
-    * email, international-format phone (+CC...), dotted-quad IPv4.
+    * email, international-format phone (+CC...), dotted-quad IPv4,
+    * full/compressed IPv6, payment-card digit shapes.
     * Single source of truth: [[org.apache.spark.sql.graftexpr.PiiScan]]. */
   val EmailPat: String = org.apache.spark.sql.graftexpr.PiiScan.Email
   val PhonePat: String = org.apache.spark.sql.graftexpr.PiiScan.Phone
   val Ipv4Pat: String = org.apache.spark.sql.graftexpr.PiiScan.Ipv4
+  val Ipv6Pat: String = org.apache.spark.sql.graftexpr.PiiScan.Ipv6
+  val CardPat: String = org.apache.spark.sql.graftexpr.PiiScan.Card
 
-  /** Redact PII in place — emails, then phones, then IPv4, a FIXED order
-    * mirrored by the oracle (an email's digits must not be half-eaten by
-    * the phone pass). The masked text is the pipeline transform; the
-    * counts in [[piiStats]] are the drop/keep filter signals. */
-  def redactPii(textCol: Column): Column = {
+  /** Redact PII in place — emails, then phones, then IPv6, then IPv4,
+    * then card numbers: a FIXED pass order mirrored by the oracle (an
+    * email's digits must not be half-eaten by the phone pass; a phone's
+    * digits must not resurface as a card). Backed by the native
+    * [[org.apache.spark.sql.graftexpr.PiiRedact]] expression — one
+    * codegen'd call running the five passes in the JVM instead of five
+    * Spark regexp_replace nodes. The masked text is the pipeline
+    * transform; the counts in [[piiStats]] are the drop/keep signals. */
+  def redactPii(textCol: Column): Column =
+    org.apache.spark.sql.graftexpr.GraftExpr.pii_redact(textCol)
+
+  /** Reference Spark-builtin formulation of [[redactPii]], kept for
+    * cross-checking the native expression in tests (and as the shape the
+    * DuckDB oracle evaluates). */
+  private[graft] def redactPiiRef(textCol: Column): Column = {
     import org.apache.spark.sql.graftexpr.PiiScan
     regexp_replace(
       regexp_replace(
-        regexp_replace(textCol, EmailPat, PiiScan.EmailToken),
-        PhonePat, PiiScan.PhoneToken),
-      Ipv4Pat, PiiScan.IpToken)
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(textCol, EmailPat, PiiScan.EmailToken),
+            PhonePat, PiiScan.PhoneToken),
+          Ipv6Pat, PiiScan.Ipv6Token),
+        Ipv4Pat, PiiScan.IpToken),
+      CardPat, PiiScan.CardToken)
   }
 
   /** Per-document PII signals: per-category match counts plus the length
     * of the redacted text — the standard pre-training scrubbing stage
     * (mask-or-drop by PII density). Narrow map, zero shuffle; backed by
-    * the native one-pass [[org.apache.spark.sql.graftexpr.PiiScan]]
-    * expression (ONE alternation matcher instead of the six regex passes
-    * of the reference formulation below — the d11 lesson again). */
+    * the native [[org.apache.spark.sql.graftexpr.PiiScan]] expression
+    * (the five category passes run inside one codegen'd call — see its
+    * doc for why the passes are NOT fused into one alternation). */
   def piiStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val st = org.apache.spark.sql.graftexpr.GraftExpr.pii_scan(col(textCol))
@@ -261,27 +278,32 @@ object TextStats {
       element_at(st, 1).cast("int").as("n_emails"),
       element_at(st, 2).cast("int").as("n_phones"),
       element_at(st, 3).cast("int").as("n_ipv4"),
-      element_at(st, 4).cast("int").as("redacted_chars"))
+      element_at(st, 4).cast("int").as("n_ipv6"),
+      element_at(st, 5).cast("int").as("n_card"),
+      element_at(st, 6).cast("int").as("redacted_chars"))
   }
 
   /** Reference multi-pass formulation of [[piiStats]], kept for
-    * cross-checking the fused native expression in tests — and the shape
-    * the DuckDB oracle evaluates. Counts use SEQUENTIAL-REDACTION
-    * semantics (each category counted on the text with the higher-priority
+    * cross-checking the native expression in tests — and the shape the
+    * DuckDB oracle evaluates. Counts use SEQUENTIAL-REDACTION semantics
+    * (each category counted on the text with the higher-priority
     * categories already masked): an email's digits are an email, not also
-    * a phone — the same no-double-counting partition the single fused
-    * alternation matcher computes. */
+    * a phone or a card — the exact partition the native pass chain
+    * computes. */
   private[graft] def piiStatsRef(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val r1 = regexp_replace(col(textCol), EmailPat,
-      org.apache.spark.sql.graftexpr.PiiScan.EmailToken)
-    val r2 = regexp_replace(r1, PhonePat,
-      org.apache.spark.sql.graftexpr.PiiScan.PhoneToken)
+    import org.apache.spark.sql.graftexpr.PiiScan
+    val r1 = regexp_replace(col(textCol), EmailPat, PiiScan.EmailToken)
+    val r2 = regexp_replace(r1, PhonePat, PiiScan.PhoneToken)
+    val r3 = regexp_replace(r2, Ipv6Pat, PiiScan.Ipv6Token)
+    val r4 = regexp_replace(r3, Ipv4Pat, PiiScan.IpToken)
     docs.select(col(idCol),
       size(regexp_extract_all(col(textCol), lit(EmailPat), lit(0))).as("n_emails"),
       size(regexp_extract_all(r1, lit(PhonePat), lit(0))).as("n_phones"),
-      size(regexp_extract_all(r2, lit(Ipv4Pat), lit(0))).as("n_ipv4"),
-      length(redactPii(col(textCol))).as("redacted_chars"))
+      size(regexp_extract_all(r3, lit(Ipv4Pat), lit(0))).as("n_ipv4"),
+      size(regexp_extract_all(r2, lit(Ipv6Pat), lit(0))).as("n_ipv6"),
+      size(regexp_extract_all(r4, lit(CardPat), lit(0))).as("n_card"),
+      length(redactPiiRef(col(textCol))).as("redacted_chars"))
   }
 
   /** The raw k-smallest-distinct rolling-gram hashes behind

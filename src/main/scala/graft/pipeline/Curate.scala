@@ -326,8 +326,8 @@ object Curate {
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= opts.cap).select("url")
     val capped = clean.join(keepUrls, Seq("url"), "left_semi")
-    // counts via the fused one-pass PiiScan; the redacted TEXT still needs
-    // the replace passes (4 regex passes total instead of 6)
+    // counts via the native PiiScan pass chain; the redacted TEXT via the
+    // native PiiRedact twin (two codegen'd calls, no Spark regexp nodes)
     val st = org.apache.spark.sql.graftexpr.GraftExpr.pii_scan(col("text"))
     capped.select(
       col("url"), col("warc_ts"), col("domain"), col("mimeType"), col("textBytes"),
@@ -335,6 +335,8 @@ object Curate {
       element_at(st, 1).cast("int").as("n_emails"),
       element_at(st, 2).cast("int").as("n_phones"),
       element_at(st, 3).cast("int").as("n_ipv4"),
+      element_at(st, 4).cast("int").as("n_ipv6"),
+      element_at(st, 5).cast("int").as("n_card"),
       TextStats.redactPii(col("text")).as("text"))
   }
 

@@ -51,10 +51,15 @@ object GraftExpr {
   def repetition_stats(c: Column): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c)))
 
-  /** One-pass PII scan of a string column:
-    * [n_emails, n_phones, n_ipv4, redacted_chars]. */
+  /** PII scan of a string column (one expression, five sequential
+    * category passes): [n_emails, n_phones, n_ipv4, n_ipv6, n_card,
+    * redacted_chars]. */
   def pii_scan(c: Column): Column =
     ExpressionUtils.column(PiiScan(ExpressionUtils.expression(c)))
+
+  /** The PII-redacted text under the same pass chain as [[pii_scan]]. */
+  def pii_redact(c: Column): Column =
+    ExpressionUtils.column(PiiRedact(ExpressionUtils.expression(c)))
 
   /** Register SQL-callable names on a session. */
   def register(spark: SparkSession): Unit = {
@@ -407,19 +412,30 @@ object CosineSim {
   }
 }
 
-/** One-pass PII scan: [n_emails, n_phones, n_ipv4, redacted_chars], where
-  * redacted_chars is the CHARACTER length of the text after replacing
-  * each match with <EMAIL>/<PHONE>/<IP>.
+/** One-EXPRESSION PII scan: [n_emails, n_phones, n_ipv4, n_ipv6, n_card,
+  * redacted_chars], where redacted_chars is the CHARACTER length of the
+  * text after replacing each match with
+  * <EMAIL>/<PHONE>/<IPV6>/<IP>/<CARD> in that pass order.
   *
-  * Semantics contract: identical to the three sequential
-  * `regexp_replace`/`regexp_extract_all` passes of `TextStats.redactPii`
-  * (and therefore to the DuckDB oracle), fused into a single alternation
-  * matcher. Equivalence argument: alternatives are tried left-to-right at
-  * each position (email first — the sequential pass priority), matches
-  * never overlap, and the replacement tokens contain no '@', '+' or
-  * digits, so a sequential later pass can neither gain nor lose a match
-  * across a replacement boundary. Cross-checked against the HOF
-  * formulation in OpsSpec on corpus + adversarial boundary fixtures.
+  * Semantics contract: BY CONSTRUCTION identical to the five sequential
+  * `regexp_replace`/`regexp_extract_all` passes of the reference
+  * formulation (and therefore to the DuckDB oracle) — the core literally
+  * runs the five category passes over an in-memory string, each pass
+  * counting + replacing on the previous pass's output, all inside one
+  * codegen'd expression (no Spark-level string churn, no interpreted
+  * HOFs).
+  *
+  * Why NOT a single fused alternation (the r4/r5 shape): with only
+  * email/phone/ipv4 a fused matcher was provably equivalent, because any
+  * lower-priority span abutting an email gets absorbed into the email's
+  * local part ('+', digits and '.' are all local-part chars). IPv6 breaks
+  * that argument — ':' is NOT a local-part char, so on `fe80::1@x.com`
+  * the sequential oracle finds the email `1@x.com` first (the email pass
+  * runs on pristine text) while a position-first fused scan would consume
+  * `fe80::1` as IPv6 and see no email; space-grouped card numbers before
+  * '@' diverge the same way. Sequential-in-the-JVM keeps engine-vs-oracle
+  * agreement exact on adversarial inputs, not just on corpus text.
+  * Cross-checked against the HOF formulation in OpsSpec.
   */
 case class PiiScan(child: Expression) extends UnaryExpression
     with ExpectsInputTypes {
@@ -439,42 +455,111 @@ case class PiiScan(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** The redacted TEXT under the same five sequential passes as [[PiiScan]]
+  * — ONE native expression instead of five Spark regexp_replace nodes, so
+  * the curate projection pays the pass chain once with exactly the
+  * counts' matcher semantics. */
+case class PiiRedact(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "pii_redact"
+
+  override def nullSafeEval(input: Any): Any =
+    PiiScan.redact(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graftexpr.PiiScan.redact($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PiiRedact =
+    copy(child = newChild)
+}
+
 object PiiScan {
   /** The single source of truth for the PII patterns (TextStats aliases
     * these; the oracle SQL interpolates them verbatim). Restricted to the
-    * java.util.regex/RE2 common subset. */
+    * java.util.regex/RE2 common subset (no word boundaries, no
+    * lookaround, no backrefs). */
   val Email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Phone = "\\+[0-9]{7,15}"
   val Ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** IPv6: the full 8-group form, or a `::`-compressed form (the double
+    * colon is REQUIRED in the second alternative, so clock times
+    * `12:30:45` and MAC addresses — single colons only — never match). */
+  val Ipv6 = "([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}|" +
+    "([0-9A-Fa-f]{1,4}:){1,7}:([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,6})?"
+
+  /** Payment-card shape: four 4-digit groups separated by one space or
+    * dash, or a bare 13-16 digit run — the conservative Luhn-free
+    * syntactic filter (Luhn needs arithmetic a regex cannot express; the
+    * pass order already keeps phone/IP digits out of the card count). */
+  val Card = "[0-9]{4}([ -][0-9]{4}){3}|[0-9]{13,16}"
 
   /** Replacement tokens — shared with TextStats.redactPii and the d12
     * oracle SQL so the redacted-length arithmetic can never drift. */
   val EmailToken = "<EMAIL>"
   val PhoneToken = "<PHONE>"
   val IpToken = "<IP>"
+  val Ipv6Token = "<IPV6>"
+  val CardToken = "<CARD>"
 
-  // groups: 1=email, 2=phone, 3=ipv4 (ipv4's inner group becomes 4)
-  private val Combined =
-    java.util.regex.Pattern.compile(s"($Email)|($Phone)|($Ipv4)")
+  // compiled once; the pass ORDER is the priority contract (email first,
+  // on pristine text; then phone/ipv6/ipv4/card, each on the previous
+  // pass's redacted output)
+  private val Passes: Array[(java.util.regex.Pattern, String)] = Array(
+    java.util.regex.Pattern.compile(Email) -> EmailToken,
+    java.util.regex.Pattern.compile(Phone) -> PhoneToken,
+    java.util.regex.Pattern.compile(Ipv6) -> Ipv6Token,
+    java.util.regex.Pattern.compile(Ipv4) -> IpToken,
+    java.util.regex.Pattern.compile(Card) -> CardToken)
+
+  /** One count+replace pass. Manual StringBuilder walk (not
+    * Matcher.appendReplacement: the tokens are literals, so no `$`-escape
+    * handling is needed, and counting happens in the same sweep). */
+  private def pass(s: String, p: java.util.regex.Pattern,
+      token: String): (Long, String) = {
+    val m = p.matcher(s)
+    if (!m.find()) return (0L, s) // common case: zero allocation
+    val sb = new java.lang.StringBuilder(s.length)
+    var n = 0L
+    var last = 0
+    do {
+      sb.append(s, last, m.start()).append(token)
+      last = m.end()
+      n += 1
+    } while (m.find())
+    sb.append(s, last, s.length)
+    (n, sb.toString)
+  }
+
+  private def scanAll(s: String): (Array[Long], String) = {
+    val counts = new Array[Long](Passes.length)
+    var cur = s
+    var i = 0
+    while (i < Passes.length) {
+      val (n, next) = pass(cur, Passes(i)._1, Passes(i)._2)
+      counts(i) = n
+      cur = next
+      i += 1
+    }
+    (counts, cur)
+  }
 
   def of(u: UTF8String): ArrayData = {
-    val s = u.toString
-    val m = Combined.matcher(s)
-    var ne = 0L
-    var np = 0L
-    var ni = 0L
-    var matchedUnits = 0L
-    var tokenChars = 0L
-    while (m.find()) {
-      matchedUnits += m.end() - m.start() // ASCII matches: units == chars
-      if (m.start(1) >= 0) { ne += 1; tokenChars += EmailToken.length }
-      else if (m.start(2) >= 0) { np += 1; tokenChars += PhoneToken.length }
-      else { ni += 1; tokenChars += IpToken.length }
-    }
-    // total in CHARACTERS (codepoints) — the Spark length()/DuckDB
+    val (c, redacted) = scanAll(u.toString)
+    // length in CHARACTERS (codepoints) — the Spark length()/DuckDB
     // LENGTH semantics; surrogate pairs count once
-    val total = s.codePointCount(0, s.length).toLong
+    val chars = redacted.codePointCount(0, redacted.length).toLong
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      Array[Long](ne, np, ni, total - matchedUnits + tokenChars))
+      // output order stays [emails, phones, ipv4, ipv6, card, chars]:
+      // ipv4 keeps its historical slot 3 even though the ipv6 PASS runs
+      // before the ipv4 pass (c indices follow pass order)
+      Array[Long](c(0), c(1), c(3), c(2), c(4), chars))
   }
+
+  def redact(u: UTF8String): UTF8String =
+    UTF8String.fromString(scanAll(u.toString)._2)
 }

@@ -523,21 +523,29 @@ class OpsSpec extends AnyFunSuite {
       (1L, "Reach me at jane.doe@example.org or +358401234567 from 10.1.2.3 today."),
       (2L, "no pii here at all, just prose with commas"),
       (3L, "two mails a@b.io and c.d%x@e-f.net plus ip 192.168.0.1 end"),
-      (4L, "not a phone 12345, not an ip 1.2, not a mail foo@bar"))
+      (4L, "not a phone 12345, not an ip 1.2, not a mail foo@bar"),
+      (5L, "node 2001:db8:1:2::3 and fe80::1 are ipv6; 12:30:45 is a time"),
+      (6L, "card 4111 1111 1111 1111 or bare 4222222222222222 end"))
     val df = rows.toDF("doc_id", "text")
     def redact(s: String): String = s
       .replaceAll(TextStats.EmailPat, "<EMAIL>")
       .replaceAll(TextStats.PhonePat, "<PHONE>")
+      .replaceAll(TextStats.Ipv6Pat, "<IPV6>")
       .replaceAll(TextStats.Ipv4Pat, "<IP>")
+      .replaceAll(TextStats.CardPat, "<CARD>")
     val got = TextStats.piiStats(df).collect().map(r =>
-      r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
-    assert(got(1L) == ((1, 1, 1, redact(rows(0)._2).length)))
-    assert(got(2L) == ((0, 0, 0, rows(1)._2.length)))
-    assert(got(3L) == ((2, 0, 1, redact(rows(2)._2).length)))
+      r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getInt(5), r.getInt(6)))).toMap
+    assert(got(1L) == ((1, 1, 1, 0, 0, redact(rows(0)._2).length)))
+    assert(got(2L) == ((0, 0, 0, 0, 0, rows(1)._2.length)))
+    assert(got(3L) == ((2, 0, 1, 0, 0, redact(rows(2)._2).length)))
     // "foo@bar" lacks a dot-TLD; "1.2" is not a dotted quad; "12345" has no +CC
-    assert(got(4L) == ((0, 0, 0, rows(3)._2.length)))
-    // the corpus plants PII that must survive extraction: at least one
-    // finished page carries a redactable email
+    assert(got(4L) == ((0, 0, 0, 0, 0, rows(3)._2.length)))
+    // clock times (single colons) are NOT ipv6; :: compressed forms are
+    assert(got(5L) == ((0, 0, 0, 2, 0, redact(rows(4)._2).length)), got(5L))
+    assert(got(6L) == ((0, 0, 0, 0, 2, redact(rows(5)._2).length)), got(6L))
+    // the corpus plants PII that must survive extraction: finished pages
+    // carry redactable emails AND the c12 ipv6/card categories
     val pages = graft.corpus.CorpusWriter.pagesDs(spark, 300L, partitions = 4)
     val ex = graft.pipeline.ExtractPipeline.run(pages,
       graft.pipeline.ExtractPipeline.Config(partitions = 8)).toDF()
@@ -546,14 +554,20 @@ class OpsSpec extends AnyFunSuite {
         .select(org.apache.spark.sql.functions.col("url"),
           org.apache.spark.sql.functions.col("text").cast("string").as("text")),
       idCol = "url")
-    assert(pii.where(org.apache.spark.sql.functions.col("n_emails") > 0).count() > 0)
+    import org.apache.spark.sql.functions.col
+    assert(pii.where(col("n_emails") > 0).count() > 0)
+    assert(pii.where(col("n_ipv6") > 0).count() > 0, "corpus must plant ipv6")
+    assert(pii.where(col("n_card") > 0).count() > 0, "corpus must plant cards")
   }
 
-  test("native PiiScan equals the six-pass reference on corpus + edges") {
+  test("native PiiScan equals the sequential-pass reference on corpus + edges") {
     val spark = TestSpark.spark
     import spark.implicits._
     // adversarial boundary fixtures: category overlap, replacement
-    // boundaries, non-BMP chars, empties
+    // boundaries, non-BMP chars, empties — including the ipv6/card cases
+    // where a POSITION-FIRST fused alternation would diverge from the
+    // sequential contract (see the PiiScan scaladoc): both implementations
+    // here are sequential, so they must agree even on these
     val edges = Seq(
       "+123456789@x.example mail-or-phone", // '+' digits then @: email wins
       "1.2.3.4@x.example ip-or-email", // digits+dots local part: email wins
@@ -562,7 +576,14 @@ class OpsSpec extends AnyFunSuite {
       "a@b.cd@c.de double at", "a@b.cd1.2.3.4 trailing quad",
       "🙂 a@b.cd non-BMP before a match", "", " ", "no pii",
       "999.999.999.999999 oversize quad", "+123456 too-short phone",
-      "x@y.z single-letter tld is not a match")
+      "x@y.z single-letter tld is not a match",
+      "fe80::1@x.com ipv6-abutting-email: the email wins the digit",
+      "4111 1111 1111 1111@x.com grouped card before an at-sign",
+      "::ffff:10.1.2.3 v4-mapped v6", "00:1A:2B:3C:4D:5E mac is not ipv6",
+      "12:30:45 time is not ipv6", "2001:db8::8a2e:370:7334 compressed",
+      "+4111111111111111 long digits are a phone first",
+      "1234567890123456 bare 16 digits are a card",
+      "123456789012 twelve digits are nothing")
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val corpusTexts = graft.corpus.GenGoldens.dedupedPages(300L).flatMap { p =>
       val e = graft.extract.Extractor.extract(p.url, p.html)
