@@ -773,22 +773,18 @@ object SparkEntry {
          | COALESCE(r.n_kept, 0) AS n_kept, COALESCE(r.text, '') AS text
          |FROM t LEFT JOIN rebuilt r ON t.url = r.url
          |ORDER BY t.url""".stripMargin,
-    // domain curation: DuckDB recomputes registered domains (same RE2-safe
-    // regexes AND the same embedded ccSLD public-suffix lookup: last two
-    // labels unless they are a two-label public suffix, then last three),
-    // the per-domain cap via ROW_NUMBER in the same (warc_ts, url) order,
-    // and the blocklist flag from the pages cache
+    // domain curation: DuckDB recomputes registered domains via the FULL
+    // generated PSL chain (exception > wildcard > ccSLD > last-two — the
+    // same rule tables as the engine, rendered to SQL by
+    // Urls.registeredDomainSql), the per-domain cap via ROW_NUMBER in the
+    // same (warc_ts, url) order, and the blocklist flag from the pages
+    // cache
     "d13_domains" ->
       s"""WITH h AS (SELECT url, warc_ts,
          |    lower(regexp_extract(url, '${graft.ops.Urls.HostPat}', 1)) AS host
          |  FROM read_parquet('$VerifyPagesGlob')),
          |p AS (SELECT url, warc_ts,
-         |    CASE WHEN regexp_extract(host, '${graft.ops.Urls.Domain3Pat}', 1) <> ''
-         |          AND regexp_extract(host, '${graft.ops.Urls.DomainPat}', 1)
-         |            IN (${graft.ops.Urls.ccSldsSqlList})
-         |         THEN regexp_extract(host, '${graft.ops.Urls.Domain3Pat}', 1)
-         |         ELSE regexp_extract(host, '${graft.ops.Urls.DomainPat}', 1)
-         |    END AS domain
+         |    ${graft.ops.Urls.registeredDomainSql("host")} AS domain
          |  FROM h),
          |r AS (SELECT domain, url,
          |        ROW_NUMBER() OVER (PARTITION BY domain ORDER BY warc_ts, url) AS rn

@@ -68,8 +68,14 @@ object PagesGen {
     * c12: ~40% of planted PII sentences additionally carry an IPv6
     * address (compressed form) and a space-grouped payment-card number —
     * the r6 PiiScan categories, exercised on text that survives
-    * boilerplate removal. */
-  val CorpusVersion = "c12"
+    * boilerplate removal.
+    * c13: hosts 1/2/4/6 exercise the structured PSL rule classes —
+    * `www.example-1.kawasaki.jp` (2-label wildcard -> 4-label registered
+    * domain), `shop.example-2.ck` (1-label wildcard -> 3 labels),
+    * `example-4.city.kawasaki.jp` (3-label exception ->
+    * `city.kawasaki.jp`), `example-6.www.ck` (2-label exception ->
+    * `www.ck`). */
+  val CorpusVersion = "c13"
 
   // fixed multilingual word pools (fi / sv / en flavor for `lang` variety)
   private val WordsEn = Array(
@@ -178,10 +184,19 @@ object PagesGen {
     val cat = category(idx)
     // dup pair shares one url, keyed to the first crawl's index
     val key = if (cat == "dup-url" && idx % 100 == 84) idx - 1 else idx
-    // host 5 is a ccSLD host WITH a subdomain: registered-domain logic
-    // must yield example-5.co.uk (3 labels), not co.uk (c11)
-    if (key % 7 == 5) s"https://news.example-5.co.uk/$cat/doc-$key"
-    else s"https://example-${key % 7}.test/$cat/doc-$key"
+    // hosts 1/2/4/5/6 exercise the PSL rule classes (c11/c13) — every
+    // registered-domain branch of Urls.registeredDomain appears in the
+    // corpus: wildcard *.kawasaki.jp, wildcard *.ck, exception
+    // !city.kawasaki.jp, plain ccSLD co.uk, exception !www.ck
+    val host = (key % 7) match {
+      case 1 => "www.example-1.kawasaki.jp" // -> www.example-1.kawasaki.jp
+      case 2 => "shop.example-2.ck"         // -> shop.example-2.ck
+      case 4 => "example-4.city.kawasaki.jp" // -> city.kawasaki.jp
+      case 5 => "news.example-5.co.uk"      // -> example-5.co.uk
+      case 6 => "example-6.www.ck"          // -> www.ck
+      case n => s"example-$n.test"          // -> example-N.test
+    }
+    s"https://$host/$cat/doc-$key"
   }
 
   def warcTs(idx: Long): Timestamp = {

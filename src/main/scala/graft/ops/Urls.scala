@@ -33,12 +33,11 @@ object Urls {
     * java.util.regex/RE2 common subset (shared with the DuckDB oracle). */
   val HostPat = s"^[A-Za-z][A-Za-z0-9+.-]*://($HostChars+)"
 
-  /** Last two dot-labels of the host. */
+  /** Last one/two/three/four dot-labels of the host. */
+  val Domain1Pat = "([^.]+)$"
   val DomainPat = "([^.]+\\.[^.]+)$"
-
-  /** Last three dot-labels of the host (the registered domain under a
-    * two-label public suffix). */
   val Domain3Pat = "([^.]+\\.[^.]+\\.[^.]+)$"
+  val Domain4Pat = "([^.]+\\.[^.]+\\.[^.]+\\.[^.]+)$"
 
   /** Compact snapshot of the COMMON two-label public suffixes (ccSLDs) —
     * the entries under which a registered domain is three host labels, not
@@ -101,6 +100,31 @@ object Urls {
     * mirror the exact same lookup). */
   def ccSldsSqlList: String = CcSlds.map(s => s"'$s'").mkString(", ")
 
+  /** STRUCTURED PSL rules beyond the plain ccSLD table — the wildcard
+    * (`*.<base>`) and exception (`!<rule>`) rule classes of the public
+    * suffix list (publicsuffix.org — public data), embedded like
+    * [[CcSlds]]. A wildcard base means every single extra label under it
+    * is itself a public suffix (`*.ck`: `shop.ck` is a suffix, so
+    * `a.shop.ck` is the registered domain); an exception carves a
+    * registrable name back out of a wildcard (`!www.ck`: `www.ck`
+    * registers even though `*.ck` would make it a suffix). Two base
+    * widths cover the real list's shapes: 1-label bases (ccTLD-wide
+    * wildcards) and 2-label bases (the Japanese city domains). Not
+    * exhaustive — the live PSL carries a few private-section wildcards —
+    * but these are the PSL's canonical wildcard/exception entries, and
+    * each class is corpus-exercised + mirrored into the d13 oracle via
+    * [[registeredDomainSql]]. */
+  val PslWildcards1: Seq[String] =
+    Seq("bd", "ck", "er", "jm", "kh", "mm", "np", "pg")
+  val PslWildcards2: Seq[String] = Seq(
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp")
+  val PslExceptions2: Seq[String] = Seq("www.ck")
+  val PslExceptions3: Seq[String] = Seq(
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp")
+
   /** The `scheme://host` prefix of an absolute URL, as ONE capture —
     * shared by [[canonicalize]] and the d15 oracle SQL; same [[HostChars]]
     * as [[HostPat]]. */
@@ -122,22 +146,65 @@ object Urls {
 
   def host(urlCol: Column): Column = regexp_extract(urlCol, HostPat, 1)
 
-  /** Registered domain: last two labels of the LOWERCASED host — unless
-    * those two labels are a known two-label public suffix (the [[CcSlds]]
-    * table), in which case the registered domain is the last THREE labels
-    * (`news.bbc.co.uk` -> `bbc.co.uk`, not `co.uk`). A host that IS a bare
-    * public suffix (`co.uk` alone, no third label) falls back to itself.
-    * DNS names are case-insensitive, so the host is lowercased BEFORE
-    * extraction — without it, a crawl spelling a host `EXAMPLE-3.TEST`
-    * would slip past the blocklist and split the per-domain cap (and the
-    * ccSLD IN-list, which is lowercase, would never match `Co.UK`).
-    * Pure codegen'd expression: two anchored regex extracts + an IN-list;
-    * the (sorted, deduped) lookup is a constant, so Catalyst folds it. */
+  /** Registered domain of the LOWERCASED host under the embedded PSL
+    * rule classes, in the PSL's precedence order (exceptions beat
+    * wildcards beat normal rules):
+    *
+    *   1. last-3 labels ∈ [[PslExceptions3]] (`!city.kawasaki.jp`) ->
+    *      those 3 labels register;
+    *   2. last-2 labels ∈ [[PslExceptions2]] (`!www.ck`) -> those 2;
+    *   3. last-2 labels ∈ [[PslWildcards2]] (`*.kawasaki.jp`) -> the
+    *      suffix is THREE labels, so the registered domain is the last
+    *      FOUR; a host at/below suffix depth falls back to itself;
+    *   4. last label ∈ [[PslWildcards1]] (`*.ck`) -> the suffix is two
+    *      labels, registered is the last THREE; bare hosts fall back;
+    *   5. last-2 labels ∈ [[CcSlds]] (`co.uk`) -> last THREE labels;
+    *   6. otherwise the last TWO labels (`news.bbc.co.uk` -> `bbc.co.uk`,
+    *      never `co.uk`).
+    *
+    * A host that IS a bare public suffix falls back to itself. DNS names
+    * are case-insensitive, so the host is lowercased BEFORE extraction —
+    * without it, a crawl spelling a host `EXAMPLE-3.TEST` would slip past
+    * the blocklist and split the per-domain cap (and the lowercase
+    * IN-lists would never match `Co.UK`). Pure codegen'd expression:
+    * anchored regex extracts + constant IN-lists, folded by Catalyst.
+    * Mirrored rule-for-rule into the d13 oracle by
+    * [[registeredDomainSql]] — generated from the SAME tables, so the
+    * two engines cannot drift. */
   def registeredDomain(urlCol: Column): Column = {
     val h = lower(host(urlCol))
+    val last1 = regexp_extract(h, Domain1Pat, 1)
     val last2 = regexp_extract(h, DomainPat, 1)
     val last3 = regexp_extract(h, Domain3Pat, 1)
-    when(last3 =!= "" && last2.isin(CcSlds: _*), last3).otherwise(last2)
+    val last4 = regexp_extract(h, Domain4Pat, 1)
+    when(last3 =!= "" && last3.isin(PslExceptions3: _*), last3)
+      .when(last2 =!= "" && last2.isin(PslExceptions2: _*), last2)
+      .when(last2 =!= "" && last2.isin(PslWildcards2: _*),
+        when(last4 =!= "", last4).otherwise(h))
+      .when(last1 =!= "" && last1.isin(PslWildcards1: _*),
+        when(last3 =!= "", last3).otherwise(h))
+      .when(last3 =!= "" && last2.isin(CcSlds: _*), last3)
+      .otherwise(last2)
+  }
+
+  /** The [[registeredDomain]] lookup as a DuckDB SQL CASE over a
+    * (lowercased) host SQL expression — the d13 oracle mirror, GENERATED
+    * from the same rule tables and patterns so the oracle re-derives the
+    * full PSL chain independently yet cannot drift from the engine. */
+  def registeredDomainSql(hostExpr: String): String = {
+    def ex(pat: String) = s"regexp_extract($hostExpr, '$pat', 1)"
+    val l1 = ex(Domain1Pat); val l2 = ex(DomainPat)
+    val l3 = ex(Domain3Pat); val l4 = ex(Domain4Pat)
+    def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString(", ")
+    s"""CASE
+       |      WHEN $l3 <> '' AND $l3 IN (${inList(PslExceptions3)}) THEN $l3
+       |      WHEN $l2 <> '' AND $l2 IN (${inList(PslExceptions2)}) THEN $l2
+       |      WHEN $l2 <> '' AND $l2 IN (${inList(PslWildcards2)})
+       |        THEN (CASE WHEN $l4 <> '' THEN $l4 ELSE $hostExpr END)
+       |      WHEN $l1 <> '' AND $l1 IN (${inList(PslWildcards1)})
+       |        THEN (CASE WHEN $l3 <> '' THEN $l3 ELSE $hostExpr END)
+       |      WHEN $l3 <> '' AND $l2 IN ($ccSldsSqlList) THEN $l3
+       |      ELSE $l2 END""".stripMargin
   }
 
   /** C4-style URL canonicalization — the normalization web pipelines apply

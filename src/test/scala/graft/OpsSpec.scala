@@ -490,12 +490,27 @@ class OpsSpec extends AnyFunSuite {
       // DNS is case-insensitive: mixed-case hosts must collapse to the
       // same lowercase domain (blocklists/caps would otherwise split)
       "https://A.Example.TEST/x",
-      "https://News.BBC.Co.UK/x")
+      "https://News.BBC.Co.UK/x",
+      // PSL wildcard rules: *.ck makes shop.ck a public suffix, so the
+      // registered domain takes a third label; *.kawasaki.jp a fourth
+      "https://a.shop.ck/x",                // -> a.shop.ck
+      "https://deep.a.shop.ck/x",           // -> a.shop.ck
+      "https://shop.ck/x",                  // bare wildcard suffix -> itself
+      "https://www.ex.kawasaki.jp/x",       // -> www.ex.kawasaki.jp (4)
+      "https://ex.kawasaki.jp/x",           // bare 3-label suffix -> itself
+      // PSL exception rules carve registrables back out of the wildcard
+      "https://sub.www.ck/x",               // !www.ck -> www.ck
+      "https://www.ck/x",                   // -> itself
+      "https://blog.city.kawasaki.jp/x",    // !city.kawasaki.jp -> city...
+      "https://x.y.city.kawasaki.jp/x")     // deep under the exception
       .map(Tuple1.apply).toDF("url")
       .select(Urls.registeredDomain(col("url")).as("d"))
       .collect().map(_.getString(0))
     assert(cc.toSeq == Seq("bbc.co.uk", "example.com.au", "co.uk",
-      "example.org", "example.test", "bbc.co.uk"))
+      "example.org", "example.test", "bbc.co.uk",
+      "a.shop.ck", "a.shop.ck", "shop.ck",
+      "www.ex.kawasaki.jp", "ex.kawasaki.jp",
+      "www.ck", "www.ck", "city.kawasaki.jp", "city.kawasaki.jp"))
     assert(Urls.filterBlocklist(df, "url", Seq("example.test")).count() == 2)
     // cap 2 keeps the two EARLIEST (ts) docs of the 3-doc domain
     val many = Seq(

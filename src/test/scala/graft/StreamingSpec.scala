@@ -123,7 +123,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     // 70 + 140 rows over 7 hosts -> 30 docs per host after both batches
     assert(rows.map(_.getAs[Long]("docs")).sum == 210L)
-    // 6 example-N.test hosts + the c11 ccSLD host news.example-5.co.uk
+    // 7 distinct hosts; since c13 five carry PSL-exercising shapes, but
+    // every host name still embeds its example-N marker
     assert(rows.forall(_.getAs[String]("host").contains("example-")))
   }
 
