@@ -355,6 +355,21 @@ object SparkEntry {
       variants.select(col("u"),
         graft.ops.Urls.canonicalize(col("u")).as("canon"))
     }),
+    "d17_corpus_lang" -> ((s, d) => {
+      // the widened 22-language ID + language-aware stopword ratio over
+      // EXTRACTED corpus text — d03/d04's operators on real multilingual
+      // extraction output (the c14 corpus plants ru/el/zh docs, incl. a
+      // script-scored language with no whitespace tokens). Per-doc text
+      // is exported; DuckDB re-derives the full generated argmax chain
+      // from the same tables.
+      val out = ExtractPipeline.run(pages(s, d), ExtractPipeline.Config(partitions = 32))
+      val texts = exportAndRead(out.toDF()
+        .where(col("status") === "finished")
+        .select(col("url"), col("text").cast("string").as("text")), "d17text")
+      texts.select(col("url"),
+        TextStats.langGuess(col("text")).as("lang_guess"),
+        round(TextStats.stopwordRatio(col("text")), 4).as("stopword_ratio"))
+    }),
     "d13_domains" -> ((s, d) => {
       // URL/domain curation over the crawl METADATA (no payload reads):
       // per registered domain — doc count, distinct urls, survivors of a
@@ -641,11 +656,13 @@ object SparkEntry {
         | ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
         |   / len(string_split_regex(trim(text), ' +')), 4) AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // language-aware quality (r5): the stopword ratio is scored against the
-    // argmax language's stoplist — the SAME argmax CASE as d04 (tie-break:
-    // score desc, then de<en<es<fr), with the all-zero case falling back to
-    // the English list. Stoplists are interpolated from the one Scala
-    // source (TextStats.Stop*Sql) so the two engines can never drift.
+    // language-aware quality: the stopword ratio is scored against the
+    // argmax language's signal — the SAME argmax as d04 over all 22
+    // languages (19 stoplists + 3 script-char scores; tie-break: score
+    // desc then lang asc), with the all-zero case falling back to the
+    // English list. The score columns, the pick CASE and the per-language
+    // ratio CASE are all GENERATED from the one Scala table
+    // (TextStats.StopLists/ScriptLangs) so the two engines cannot drift.
     "d03_quality" ->
       s"""WITH base AS (
          | SELECT doc_id, text,
@@ -653,27 +670,15 @@ object SparkEntry {
          |  LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
          |  LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS digits
          | FROM documents),
-         |lg AS (
-         | SELECT *, len(list_intersect(list_distinct(toks), ${graft.ops.TextStats.StopEnSql})) AS se,
-         |  len(list_intersect(list_distinct(toks), ${graft.ops.TextStats.StopDeSql})) AS sd,
-         |  len(list_intersect(list_distinct(toks), ${graft.ops.TextStats.StopEsSql})) AS ss,
-         |  len(list_intersect(list_distinct(toks), ${graft.ops.TextStats.StopFrSql})) AS sf
+         |sc AS (
+         | SELECT *, ${graft.ops.TextStats.langScoresSql("toks", "text")}
          | FROM base),
          |pick AS (
-         | SELECT *, CASE WHEN greatest(se, sd, ss, sf) = 0 THEN 'en'
-         |      WHEN sd >= se AND sd >= ss AND sd >= sf THEN 'de'
-         |      WHEN se >= ss AND se >= sf THEN 'en'
-         |      WHEN ss >= sf THEN 'es'
-         |      ELSE 'fr' END AS lang_pick
-         | FROM lg),
+         | SELECT *, ${graft.ops.TextStats.langPickSql(graft.ops.TextStats.langMaxSql)} AS lang_pick
+         | FROM sc),
          |r AS (
          | SELECT doc_id,
-         |  CAST(CASE lang_pick
-         |    WHEN 'de' THEN len(list_filter(toks, t -> list_contains(${graft.ops.TextStats.StopDeSql}, t)))
-         |    WHEN 'es' THEN len(list_filter(toks, t -> list_contains(${graft.ops.TextStats.StopEsSql}, t)))
-         |    WHEN 'fr' THEN len(list_filter(toks, t -> list_contains(${graft.ops.TextStats.StopFrSql}, t)))
-         |    ELSE len(list_filter(toks, t -> list_contains(${graft.ops.TextStats.StopEnSql}, t))) END
-         |    AS DOUBLE) / len(toks) AS sr,
+         |  ${graft.ops.TextStats.stopwordRatioSql("lang_pick", "toks", "text")} AS sr,
          |  CAST(punct AS DOUBLE) / LENGTH(text) AS pr,
          |  CAST(digits AS DOUBLE) / LENGTH(text) AS dr,
          |  len(toks) AS nt, LENGTH(text) AS lt
@@ -686,22 +691,14 @@ object SparkEntry {
          |FROM r ORDER BY doc_id""".stripMargin,
     "d04_lang_id" ->
       s"""WITH s AS (
-         | SELECT doc_id, lang,
-         |  list_distinct(string_split_regex(trim(lower(text)), ' +')) AS w
+         | SELECT doc_id, lang, text,
+         |  string_split_regex(trim(lower(text)), ' +') AS toks
          | FROM documents),
          |sc AS (
-         | SELECT doc_id, lang,
-         |  len(list_intersect(w, ${graft.ops.TextStats.StopEnSql})) AS se,
-         |  len(list_intersect(w, ${graft.ops.TextStats.StopDeSql})) AS sd,
-         |  len(list_intersect(w, ${graft.ops.TextStats.StopEsSql})) AS ss,
-         |  len(list_intersect(w, ${graft.ops.TextStats.StopFrSql})) AS sf
+         | SELECT *, ${graft.ops.TextStats.langScoresSql("toks", "text")}
          | FROM s)
          |SELECT doc_id, lang AS lang_tag,
-         | CASE WHEN greatest(se, sd, ss, sf) = 0 THEN 'und'
-         |      WHEN sd >= se AND sd >= ss AND sd >= sf THEN 'de'
-         |      WHEN se >= ss AND se >= sf THEN 'en'
-         |      WHEN ss >= sf THEN 'es'
-         |      ELSE 'fr' END AS lang_guess
+         | ${graft.ops.TextStats.langPickSql(graft.ops.TextStats.langMaxSql)} AS lang_guess
          |FROM sc ORDER BY doc_id""".stripMargin,
     // d05's oracle is the BRUTE-FORCE pair enumeration: on corpora where
     // every true pair shares a band (planted near-dups at j≈0.97 — recall
@@ -799,6 +796,22 @@ object SparkEntry {
          | CAST(p.domain IN ('example-3.test') AS INT) AS is_blocked
          |FROM p LEFT JOIN k USING (domain)
          |GROUP BY p.domain ORDER BY 1""".stripMargin,
+    // corpus language ID: DuckDB re-derives the generated 22-language
+    // argmax + the language-aware stopword ratio from the exported
+    // extracted text — same generated fragments as d03/d04
+    "d17_corpus_lang" ->
+      s"""WITH t AS (SELECT url, text,
+         |  string_split_regex(trim(lower(text)), ' +') AS toks
+         | FROM read_parquet('$ExportRoot/d17text/*.parquet')),
+         |sc AS (
+         | SELECT *, ${graft.ops.TextStats.langScoresSql("toks", "text")}
+         | FROM t),
+         |pick AS (
+         | SELECT *, ${graft.ops.TextStats.langPickSql(graft.ops.TextStats.langMaxSql)} AS lang_guess
+         | FROM sc)
+         |SELECT url, lang_guess,
+         | ROUND(${graft.ops.TextStats.stopwordRatioSql("lang_guess", "toks", "text")}, 4) AS stopword_ratio
+         |FROM pick ORDER BY url""".stripMargin,
     // token-budget mix selection: DuckDB re-derives the per-lang running
     // prefix sum (same ROWS frame, same order) and the <=-budget cut
     "d16_token_budget" ->

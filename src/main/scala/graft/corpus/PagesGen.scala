@@ -74,8 +74,13 @@ object PagesGen {
     * domain), `shop.example-2.ck` (1-label wildcard -> 3 labels),
     * `example-4.city.kawasaki.jp` (3-label exception ->
     * `city.kawasaki.jp`), `example-6.www.ck` (2-label exception ->
-    * `www.ck`). */
-  val CorpusVersion = "c13"
+    * `www.ck`).
+    * c14/c15: non-Latin word pools (ru Cyrillic, el Greek, zh CJK) join the
+    * lang rotation so the widened 22-language ID (TextStats
+    * StopLists/ScriptLangs) is exercised on corpus text that survives
+    * extraction — incl. a script-scored language with no whitespace
+    * tokens. */
+  val CorpusVersion = "c15"
 
   // fixed multilingual word pools (fi / sv / en flavor for `lang` variety)
   private val WordsEn = Array(
@@ -88,16 +93,37 @@ object PagesGen {
     "asiakirja", "palvelu", "tieto", "järjestelmä", "sisältö", "raportti",
     "arvo", "julkinen", "arkisto", "laatu", "määrä", "ikkuna", "virta",
     "erä", "osio", "taulukko", "moottori", "tulos", "malli", "sivu",
-    "verkko", "haku", "kieli", "teksti", "oikeus", "ministeriö", "laki")
+    "verkko", "haku", "kieli", "teksti", "oikeus", "ministeriö", "laki",
+    // function words (c15): real fi text carries them, and they are the
+    // TextStats lang-id signal — without them fi docs guess 'und' (c15)
+    "ja", "on", "ei", "että", "myös", "niin", "kun")
   private val WordsSv = Array(
     "dokument", "tjänst", "innehåll", "rapport", "värde", "offentlig",
     "arkiv", "kvalitet", "antal", "fönster", "ström", "parti", "tabell",
     "motor", "resultat", "modell", "sida", "nät", "sök", "språk", "text",
-    "rätt", "departement", "lag", "myndighet")
+    "rätt", "departement", "lag", "myndighet",
+    "och", "att", "som", "är", "med", "för", "inte") // function words (c15)
+  // non-Latin pools (c14): each mixes that language's FUNCTION words (the
+  // TextStats stoplist signal) with content nouns, like a real text would
+  private val WordsRu = Array(
+    "и", "в", "не", "на", "что", "это", "как", "мы", "они", "было", "есть",
+    "данные", "система", "файл", "отчет", "архив", "качество", "значение",
+    "таблица", "модель", "страница", "поиск", "язык", "текст", "закон")
+  private val WordsEl = Array(
+    "και", "το", "να", "του", "με", "για", "είναι", "από", "δεν", "θα",
+    "δεδομένα", "σύστημα", "αρχείο", "υπηρεσία", "ποιότητα", "αξία",
+    "πίνακας", "μοντέλο", "σελίδα", "γλώσσα", "κείμενο", "νόμος")
+  private val WordsZh = Array(
+    "数据", "系统", "文件", "内容", "服务", "报告", "价值", "公共", "档案",
+    "质量", "数量", "窗口", "批次", "分区", "表格", "引擎", "结果", "模型",
+    "页面", "网络", "搜索", "语言", "文本", "法律")
 
   private def pool(lang: String): Array[String] = lang match {
     case "fi" => WordsFi
     case "sv" => WordsSv
+    case "ru" => WordsRu
+    case "el" => WordsEl
+    case "zh" => WordsZh
     case _ => WordsEn
   }
 
@@ -123,7 +149,10 @@ object PagesGen {
   def paragraph(r: Rng, lang: String, sentences: Int): String =
     (0 until sentences).map(_ => sentence(r, lang)).mkString(" ")
 
-  private val Langs = Array("en", "fi", "sv", "en", "fi") // weighted
+  // weighted rotation; ru/el/zh joined in c14 so non-Latin scripts flow
+  // through extraction, curation and the d17 language query
+  private val Langs = Array("en", "fi", "sv", "en", "ru", "fi", "el", "en",
+    "zh", "sv")
 
   /** Category by row index — fixed proportions (FIXTURES.md §3). The c6
     * slice covers the reference's whole 24-mimetype registry

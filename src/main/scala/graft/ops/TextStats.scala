@@ -34,37 +34,138 @@ object TextStats {
       round(length(regexp_replace(col("text"), " ", "")).cast("double") /
         size(tokens(col("text"))), 4).as("avg_token_len"))
 
-  private val StopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on",
-    "for", "with", "as", "by", "at", "or", "be", "this", "that", "it", "an")
-  private val StopDe = Seq("der", "die", "das", "und", "ist", "ein", "eine",
-    "zu", "mit", "auf", "für", "von", "im", "den", "nicht")
-  private val StopEs = Seq("el", "la", "los", "las", "de", "y", "es", "en",
-    "un", "una", "que", "por", "con", "para", "del")
-  private val StopFr = Seq("le", "la", "les", "de", "et", "est", "un", "une",
-    "que", "pour", "dans", "du", "des", "au", "pas")
+  /** Per-language stopword lists — 19 whitespace-tokenized languages
+    * (Latin, Cyrillic, Greek, Arabic, Hebrew, Devanagari scripts), ~15
+    * high-frequency function words each, lowercase. Ordered by language
+    * code; the code is also the deterministic tie-break. Norwegian is
+    * deliberately absent: its function words overlap Danish's almost
+    * completely, so a second list would only add tie noise — 'da' stands
+    * for the da/no continuum in this heuristic. ONE Scala source: the
+    * Spark expressions AND the DuckDB oracle SQL (via [[langScoresSql]])
+    * are both generated from it, so the engines can never drift. */
+  private[graft] val StopLists: Seq[(String, Seq[String])] = Seq(
+    "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن", "هذا", "مع", "كان",
+      "لا", "ما", "هو", "التي", "الذي", "قد"),
+    "da" -> Seq("og", "i", "at", "det", "en", "den", "til", "er", "som",
+      "på", "de", "med", "han", "af", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu",
+      "mit", "auf", "für", "von", "im", "den", "nicht"),
+    "el" -> Seq("και", "το", "να", "του", "με", "για", "είναι", "από",
+      "δεν", "θα", "ότι", "τον", "την", "στο", "ο"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "on", "for",
+      "with", "as", "by", "at", "or", "be", "this", "that", "it", "an"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "es", "en", "un",
+      "una", "que", "por", "con", "para", "del"),
+    "fi" -> Seq("ja", "on", "ei", "se", "että", "hän", "oli", "mutta",
+      "kuin", "myös", "niin", "kun", "nyt", "vain", "ovat"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une", "que",
+      "pour", "dans", "du", "des", "au", "pas"),
+    "he" -> Seq("של", "את", "על", "זה", "עם", "היא", "הוא", "לא", "כי",
+      "גם", "אני", "אבל", "יש", "או", "אם"),
+    "hi" -> Seq("के", "में", "की", "है", "और", "को", "से", "का", "पर",
+      "नहीं", "यह", "हो", "भी", "कि", "था"),
+    "id" -> Seq("yang", "dan", "di", "ini", "itu", "dengan", "untuk",
+      "tidak", "dari", "ke", "pada", "adalah", "akan", "juga", "ada"),
+    "it" -> Seq("il", "la", "le", "di", "e", "che", "un", "una", "per",
+      "con", "non", "sono", "del", "al", "si"),
+    "nl" -> Seq("de", "het", "een", "en", "van", "is", "dat", "op", "te",
+      "met", "voor", "niet", "zijn", "er", "aan"),
+    "pl" -> Seq("i", "w", "nie", "na", "się", "że", "jest", "do", "z",
+      "to", "co", "tak", "jak", "po", "ale"),
+    "pt" -> Seq("o", "os", "as", "de", "e", "que", "um", "uma", "para",
+      "com", "não", "do", "da", "em", "no"),
+    "ro" -> Seq("și", "în", "de", "la", "cu", "este", "un", "o", "pentru",
+      "care", "nu", "se", "pe", "mai", "din"),
+    "ru" -> Seq("и", "в", "не", "на", "я", "что", "он", "как", "это",
+      "все", "мы", "но", "они", "она", "было", "есть"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "på", "är", "av", "för",
+      "med", "den", "till", "inte", "om", "ett"),
+    "tr" -> Seq("ve", "bir", "bu", "da", "ne", "için", "ile", "olarak",
+      "çok", "daha", "gibi", "ama", "en", "kadar", "sonra"))
 
-  /** The stoplists as DuckDB list literals — the oracle SQL interpolates
-    * these so the Scala lists and the SQL can never drift. */
+  /** Script-scored languages: whitespace tokenization carries no signal
+    * for CJK (no spaces between words), so these score by COUNTING CHARS
+    * in the language's primary script range instead — kana for Japanese,
+    * Hangul for Korean, unified ideographs for Chinese. (Kanji-heavy
+    * Japanese text with no kana can score as 'zh' — the standard
+    * cheap-heuristic caveat, deterministic and documented.) The range
+    * endpoints are literal BMP chars, valid in both java.util.regex and
+    * RE2 character classes. */
+  private[graft] val ScriptLangs: Seq[(String, String)] = Seq(
+    "ja" -> "[぀-ヿ]",
+    "ko" -> "[가-힣]",
+    "zh" -> "[一-鿿]")
+
+  /** Every language code the argmax can produce (sorted = the tie-break
+    * order), plus 'und'. */
+  private[graft] val AllLangs: Seq[String] =
+    (StopLists.map(_._1) ++ ScriptLangs.map(_._1)).sorted
+
   private def sqlList(l: Seq[String]) = l.mkString("['", "', '", "']")
-  private[graft] val StopEnSql = sqlList(StopEn)
-  private[graft] val StopDeSql = sqlList(StopDe)
-  private[graft] val StopEsSql = sqlList(StopEs)
-  private[graft] val StopFrSql = sqlList(StopFr)
 
-  /** Argmax language of a token array by distinct-token stopword overlap,
-    * with the deterministic (score desc, lang asc) tie-break via a sorted
-    * struct array — the ONE language decision shared by [[langId]] and
-    * [[quality]] so the two can never disagree. Returns the best struct
-    * (fields: neg = -overlap, lang). */
-  private def langBest(toks: Column): Column = {
-    val words = array_distinct(toks)
-    def score(stop: Seq[String]) = size(array_intersect(words, lit(stop.toArray)))
+  private def scriptCount(textCol: Column, pat: String): Column =
+    length(textCol) - length(regexp_replace(textCol, pat, ""))
+
+  /** Argmax language with the deterministic (score desc, lang asc)
+    * tie-break via a sorted struct array — the ONE language decision
+    * shared by [[langId]] and [[quality]] so the two can never disagree.
+    * Stopword languages score by distinct-token stoplist overlap; script
+    * languages by script-char count (integer scores in one comparable
+    * space: a genuinely-CJK doc has hundreds of script chars and zero
+    * stopword hits, and vice versa). Returns the best struct (fields:
+    * neg = -score, lang). */
+  private def langBest(textCol: Column): Column = {
+    val words = array_distinct(tokens(lower(textCol)))
     val scored = array(
-      struct((-score(StopEn)).as("neg"), lit("en").as("lang")),
-      struct((-score(StopDe)).as("neg"), lit("de").as("lang")),
-      struct((-score(StopEs)).as("neg"), lit("es").as("lang")),
-      struct((-score(StopFr)).as("neg"), lit("fr").as("lang")))
+      (StopLists.map { case (l, stop) =>
+        struct((-size(array_intersect(words, lit(stop.toArray)))).as("neg"),
+          lit(l).as("lang"))
+      } ++ ScriptLangs.map { case (l, pat) =>
+        struct((-scriptCount(textCol, pat)).as("neg"), lit(l).as("lang"))
+      }): _*)
     element_at(array_sort(scored), 1)
+  }
+
+  // ---------------- generated oracle SQL fragments (d03/d04/d17) -------
+
+  /** One `s_<lang>` score column per language, from the SAME tables as
+    * [[langBest]] — `toksExpr` must be the DuckDB token-array expression,
+    * `textExpr` the raw text column. */
+  private[graft] def langScoresSql(toksExpr: String, textExpr: String): String =
+    (StopLists.map { case (l, stop) =>
+      s"len(list_intersect(list_distinct($toksExpr), ${sqlList(stop)})) AS s_$l"
+    } ++ ScriptLangs.map { case (l, pat) =>
+      s"LENGTH($textExpr) - LENGTH(regexp_replace($textExpr, '$pat', '', 'g')) AS s_$l"
+    }).mkString(",\n  ")
+
+  /** `greatest(s_*)` over every language. */
+  private[graft] def langMaxSql: String =
+    AllLangs.map("s_" + _).mkString("greatest(", ", ", ")")
+
+  /** The argmax CASE: 'und' when all scores are zero, else the first
+    * (lang-ascending) language whose score equals `maxExpr` — exactly the
+    * (neg, lang) struct-sort tie-break of [[langBest]]. */
+  private[graft] def langPickSql(maxExpr: String): String =
+    s"CASE WHEN $maxExpr = 0 THEN 'und' " +
+      AllLangs.map(l => s"WHEN s_$l = $maxExpr THEN '$l'").mkString(" ") +
+      " END"
+
+  /** The language-aware stopword-ratio CASE over a `pick` column (the
+    * [[langPickSql]] result): occurrence-count / token-count for stopword
+    * languages, script-char density for script languages, English
+    * fallback for 'und'/'en' — mirroring [[stopwordRatio]] branch for
+    * branch. */
+  private[graft] def stopwordRatioSql(pickExpr: String, toksExpr: String,
+      textExpr: String): String = {
+    def occ(stop: Seq[String]) =
+      s"CAST(len(list_filter($toksExpr, t -> list_contains(${sqlList(stop)}, t))) AS DOUBLE) / len($toksExpr)"
+    val whens =
+      (StopLists.filter(_._1 != "en").map { case (l, stop) =>
+        s"WHEN $pickExpr = '$l' THEN ${occ(stop)}"
+      } ++ ScriptLangs.map { case (l, pat) =>
+        s"WHEN $pickExpr = '$l' THEN CAST(LENGTH($textExpr) - LENGTH(regexp_replace($textExpr, '$pat', '', 'g')) AS DOUBLE) / LENGTH($textExpr)"
+      }).mkString(" ")
+    s"CASE $whens ELSE ${occ(StopLists.toMap.apply("en"))} END"
   }
 
   /** Quality score: stopword ratio + punctuation ratio + length saturation,
@@ -86,20 +187,31 @@ object TextStats {
       qualityScore(col("text")).as("quality_score"))
 
   /** Language-aware stopword OCCURRENCE ratio of `textCol` (see
-    * [[quality]]'s doc for the argmax + English fallback rule). */
+    * [[quality]]'s doc for the argmax + English fallback rule). Stopword
+    * languages: occurrence count over the picked stoplist / token count
+    * (mirrors the oracle's list_filter + list_contains formulation
+    * exactly). Script languages (no whitespace tokens to count): the
+    * script-char DENSITY — the fraction of chars in the language's own
+    * script, the same "how much of this text is made of the language's
+    * function material" fluency proxy. 'und' falls back to the English
+    * list (the only deterministic choice without a language signal). */
   def stopwordRatio(textCol: Column): Column = {
     val toks = tokens(lower(textCol))
-    val best = langBest(toks)
+    val best = langBest(textCol)
     val lang = when(best.getField("neg") === 0, lit("en"))
       .otherwise(best.getField("lang"))
-    // occurrence count (not distinct matches): mirrors the oracle's
-    // list_filter + list_contains formulation exactly
-    def occ(stop: Seq[String]) =
+    def occ(stop: Seq[String]): Column =
       size(filter(toks, t => array_contains(lit(stop.toArray), t)))
-    when(lang === "de", occ(StopDe))
-      .when(lang === "es", occ(StopEs))
-      .when(lang === "fr", occ(StopFr))
-      .otherwise(occ(StopEn)).cast("double") / size(toks)
+        .cast("double") / size(toks)
+    val en = occ(StopLists.toMap.apply("en"))
+    val cases: Seq[(String, Column)] =
+      StopLists.filter(_._1 != "en").map { case (l, s) => l -> occ(s) } ++
+        ScriptLangs.map { case (l, pat) =>
+          l -> (scriptCount(textCol, pat).cast("double") / length(textCol))
+        }
+    cases.tail.foldLeft(when(lang === cases.head._1, cases.head._2)) {
+      case (acc, (l, e)) => acc.when(lang === l, e)
+    }.otherwise(en)
   }
 
   def punctRatio(textCol: Column): Column =
@@ -147,11 +259,11 @@ object TextStats {
       lit(0.0))
   }
 
-  /** The language-ID guess as ONE column expression ("en"/"de"/"es"/"fr",
-    * or "und" when no stoplist matches) — the d04 semantics, reusable as a
+  /** The language-ID guess as ONE column expression (one of [[AllLangs]],
+    * or "und" when no signal fires) — the d04 semantics, reusable as a
     * curated-output column. */
   def langGuess(textCol: Column): Column = {
-    val best = langBest(tokens(lower(textCol)))
+    val best = langBest(textCol)
     when(best.getField("neg") === 0, lit("und"))
       .otherwise(best.getField("lang"))
   }

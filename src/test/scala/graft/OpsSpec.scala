@@ -225,7 +225,8 @@ class OpsSpec extends AnyFunSuite {
       assert(score >= 0.0 && score <= 1.0, s"score $score")
     }
     val lid = TextStats.langId(docs).collect()
-    assert(lid.forall(r => Set("en", "de", "es", "fr", "und").contains(r.getString(2))))
+    assert(lid.forall(r =>
+      (TextStats.AllLangs :+ "und").toSet.contains(r.getString(2))))
   }
 
   test("decontaminate: exact gram overlap flags, disjoint docs stay clean") {
@@ -352,6 +353,42 @@ class OpsSpec extends AnyFunSuite {
     val empty = Seq((9L, "")).toDF("doc_id", "text")
     val qe = empty.select(TextStats.qualityScore(col("text"))).head()
     assert(!qe.isNullAt(0) && qe.getDouble(0) == 0.0, qe)
+  }
+
+  test("lang id: widened 22-language argmax picks stopword AND script languages") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val crafted = Seq(
+      ("ru", "мы не знаем что это было но они так и не пришли на место"),
+      ("el", "και το σύστημα είναι από τα καλύτερα για δεν θα πει κανείς"),
+      ("it", "il gatto e il cane sono per la casa che non si vede"),
+      ("pl", "i w tym roku nie było tak jak się wydaje że jest dobrze"),
+      ("pt", "o que se pode dizer de uma casa para quem não tem em si"),
+      ("tr", "bu bir deneme ve daha çok şey var ama en iyisi bu gibi"),
+      ("nl", "de kat en de hond zijn niet op het dak met een bal er aan"),
+      ("zh", "这是一段没有空格的中文文本用来测试脚本字符计数的语言识别逻辑"),
+      ("ja", "これはひらがなとカタカナをふくむにほんごのテキストです"),
+      ("ko", "이것은 한글 문자로만 이루어진 한국어 텍스트 표본입니다"),
+      ("und", "qqq zzz xxx 12345"))
+    val got = crafted.zipWithIndex.map { case ((want, t), i) => (i.toLong, want, t) }
+      .toDF("doc_id", "want", "text")
+      .select(col("want"), TextStats.langGuess(col("text")).as("got"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (want, g) => assert(g == want, s"want $want got $g") }
+    // script-lang quality: the stopword-ratio proxy is the script-char
+    // density, so pure-CJK text scores high, not zero
+    val zh = Seq((1L, "这是一段没有空格的中文文本")).toDF("doc_id", "text")
+      .select(TextStats.stopwordRatio(col("text"))).head().getDouble(0)
+    assert(zh == 1.0, s"pure-CJK density must be 1.0: $zh")
+    // the c14 corpus plants ru/el/zh docs that survive extraction
+    val pages = graft.corpus.CorpusWriter.pagesDs(spark, 300L, partitions = 4)
+    val ex = graft.pipeline.ExtractPipeline.run(pages,
+      graft.pipeline.ExtractPipeline.Config(partitions = 8)).toDF()
+      .where(col("status") === "finished")
+      .select(TextStats.langGuess(col("text").cast("string")).as("g"))
+    val guessed = ex.groupBy("g").count().collect().map(_.getString(0)).toSet
+    Seq("ru", "el", "zh").foreach(l =>
+      assert(guessed.contains(l), s"corpus must yield $l docs: $guessed"))
   }
 
   test("passage dedup: precondition-violating mirrored corpus stays correct (no forced broadcast)") {
