@@ -208,10 +208,17 @@ object Curate {
     * a [[Dedup.benchGramHashes]] frame of the evaluation set's distinct
     * 5-gram hashes; training docs sharing >= 1 gram with it are dropped
     * (the d10 rule as a filter). Passed pre-derived so a long-lived caller
-    * (streaming curate) computes + persists it once, not per batch. */
+    * (streaming curate) computes + persists it once, not per batch.
+    *
+    * `priorDomainKept` ((domain, kept) rows): counts already admitted for
+    * each domain by EARLIER runs — the streaming curate's cross-batch cap
+    * state. The cap stage admits only `max(0, cap - kept)` further docs
+    * per domain; absent domains get the full cap. The frame is
+    * domains-sized (metadata scale), so the extra join AQE-broadcasts. */
   def curate(data: DataFrame, opts: CurateOptions,
       benchGrams: Option[DataFrame] = None,
-      metrics: Option[StageMetrics] = None): DataFrame = {
+      metrics: Option[StageMetrics] = None,
+      priorDomainKept: Option[DataFrame] = None): DataFrame = {
     require(opts.cap > 0, s"cap must be positive: ${opts.cap}")
     def tap(df: DataFrame, stage: String): DataFrame =
       metrics.map(_.attach(df, stage)).getOrElse(df)
@@ -322,9 +329,17 @@ object Curate {
     // text volume never sorts inside one window task (What's wrong #1,
     // round-5 verdict).
     val w = Window.partitionBy(col("domain")).orderBy(col("warc_ts"), col("url"))
-    val keepUrls = cleanRaw.select(col("url"), col("warc_ts"), col("domain"))
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") <= opts.cap).select("url")
+    val rankBase = cleanRaw.select(col("url"), col("warc_ts"), col("domain"))
+    val withPrior = priorDomainKept match {
+      case None => rankBase.withColumn("_prior", lit(0L))
+      case Some(p) => rankBase.join(
+        p.select(col("domain"), col("kept").cast("long").as("_prior")),
+        Seq("domain"), "left")
+    }
+    val keepUrls = withPrior.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <=
+        greatest(lit(0L), lit(opts.cap.toLong) - coalesce(col("_prior"), lit(0L))))
+      .select("url")
     val capped = clean.join(keepUrls, Seq("url"), "left_semi")
     // counts via the native PiiScan pass chain; the redacted TEXT via the
     // native PiiRedact twin (two codegen'd calls, no Spark regexp nodes)

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -126,13 +128,24 @@ object StreamingExtract {
     * foreachBatch — proving the hygiene operators compose with the
     * streaming source unchanged.
     *
-    * Semantics, stated plainly: dedup and the per-domain cap are
-    * PER-MICRO-BATCH here (streaming cannot window over data it has not
-    * seen; the url-dedup state store still spans batches upstream). The
-    * narrow stages — blocklist, quality/repetition drops, PII redaction —
-    * are per-row and therefore identical to the batch job. Global
-    * cross-batch dedup/caps remain a batch/compaction concern, exactly
-    * like last-write-wins in [[start]]'s scaladoc.
+    * Semantics, stated plainly: DEDUP is per-micro-batch here (streaming
+    * cannot window over data it has not seen; the url-dedup state store
+    * still spans batches upstream), and global cross-batch dedup remains
+    * a batch/compaction concern. The per-domain CAP, however, is enforced
+    * ACROSS batches: a tiny cumulative (domain, kept) counts table —
+    * snapshotted per batch under `_counts/batch-<id>` with the same
+    * atomic-rename protocol as the data — feeds
+    * [[graft.pipeline.Curate.curate]]'s `priorDomainKept`, so each batch
+    * admits only the cap REMAINDER per domain and a domain exceeding the
+    * cap over many batches stops emitting, approximating the batch job's
+    * global cap (modulo arrival order: within a batch the earliest-crawl
+    * rule applies, across batches arrival order wins — a stream cannot
+    * reorder the past). foreachBatch runs batches sequentially, so
+    * read-prior/write-next is race-free; NOT mapGroupsWithState, because
+    * the cap decision needs the whole curate chain's SURVIVORS, which
+    * exist only inside the foreachBatch body. The narrow stages —
+    * blocklist, quality/repetition drops, PII redaction — are per-row and
+    * therefore identical to the batch job.
     *
     * Sink protocol (the batch job's snapshot-commit discipline, scaled to
     * micro-batches): each batch writes into a hidden `.tmp-batch-<id>-*`
@@ -174,6 +187,39 @@ object StreamingExtract {
     unique.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import java.nio.file.{Files, Paths, StandardCopyOption}
+        def moveAtomic(tmp: java.nio.file.Path, dst: java.nio.file.Path): Unit =
+          try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            // lost a (theoretical) replay race: the other writer's dir is
+            // complete and identical — discard ours
+            case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.FileSystemException if Files.exists(dst) =>
+              Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => Files.deleteIfExists(p))
+          }
+        def writeAtomic(df: org.apache.spark.sql.DataFrame,
+            dst: java.nio.file.Path): Unit = {
+          val tmp = Paths.get(outputDir,
+            s".tmp-${dst.getFileName}-${java.util.UUID.randomUUID()}")
+          df.write.mode("overwrite").parquet(tmp.toString)
+          moveAtomic(tmp, dst)
+        }
+        // cross-batch cap state: the latest committed cumulative
+        // (domain, kept) snapshot from an earlier batch
+        val countsRoot = Paths.get(outputDir, "_counts")
+        val prior: Option[org.apache.spark.sql.DataFrame] = {
+          if (!Files.exists(countsRoot)) None
+          else {
+            val s = Files.list(countsRoot)
+            val ids =
+              try s.iterator().asScala.map(_.getFileName.toString).collect {
+                case n if n.startsWith("batch-") => n.stripPrefix("batch-").toLong
+              }.filter(_ < batchId).toSeq
+              finally s.close()
+            ids.sorted.lastOption.map(m =>
+              spark.read.parquet(countsRoot.resolve(s"batch-$m").toString))
+          }
+        }
         val committed = Paths.get(outputDir, s"batch-$batchId")
         if (!Files.exists(committed)) {
           // the extracted batch is referenced from BOTH curate chains (the
@@ -185,22 +231,27 @@ object StreamingExtract {
             batch.select(col("url"), col("warc_ts"), col("html")).as[RawDoc],
             cfg).toDF()
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val tmp = Paths.get(outputDir,
-              s".tmp-batch-$batchId-${java.util.UUID.randomUUID()}")
-            graft.pipeline.Curate.curate(extracted, opts, benchGrams)
-              .write.mode("overwrite").parquet(tmp.toString)
-            try Files.move(tmp, committed, StandardCopyOption.ATOMIC_MOVE)
-            catch {
-              // lost a (theoretical) replay race: the other writer's dir
-              // is complete and identical — discard ours
-              case _: java.nio.file.FileAlreadyExistsException |
-                   _: java.nio.file.FileSystemException
-                  if Files.exists(committed) =>
-                Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-                  .forEach(p => Files.deleteIfExists(p))
-            }
-          } finally extracted.unpersist()
+          try writeAtomic(
+            graft.pipeline.Curate.curate(extracted, opts, benchGrams,
+              priorDomainKept = prior),
+            committed)
+          finally extracted.unpersist()
+        }
+        // cumulative counts AFTER this batch, derived from the committed
+        // output (so a crash between the two writes replays correctly:
+        // output present + counts absent -> counts re-derived, identical)
+        val countsDst = countsRoot.resolve(s"batch-$batchId")
+        if (!Files.exists(countsDst)) {
+          Files.createDirectories(countsRoot)
+          val batchKept = spark.read.parquet(committed.toString)
+            .groupBy(col("domain")).agg(count(lit(1)).as("kept"))
+          val cumulative = prior match {
+            case None => batchKept
+            case Some(p) => p.select(col("domain"), col("kept"))
+              .unionByName(batchKept)
+              .groupBy(col("domain")).agg(sum(col("kept")).as("kept"))
+          }
+          writeAtomic(cumulative, countsDst)
         }
         ()
       }

@@ -106,6 +106,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(urls.length == urls.distinct.length)
   }
 
+  test("streaming curate: per-domain cap holds ACROSS micro-batches") {
+    val spark = TestSpark.spark
+    val in = Files.createTempDirectory("graft-xcap-in").toString
+    val out = Files.createTempDirectory("graft-xcap-out").toString
+    val ckpt = Files.createTempDirectory("graft-xcap-ckpt").toString
+    // batch 1: rows 0..119; batch 2: DIFFERENT rows 120..359 of the same
+    // 7 domains — with a per-batch cap each batch would admit up to 3 per
+    // domain again; the cross-batch counts table must stop at 3 total
+    import spark.implicits._
+    def pagesSlice(from: Long, until: Long) = spark
+      .createDataset((from until until).map(graft.corpus.PagesGen.page))
+      .toDF().repartition(1)
+    pagesSlice(0, 120).write.mode("append").parquet(in)
+    val q = StreamingExtract.startCurated(spark, in, out, ckpt,
+      graft.pipeline.CurateOptions(cap = 3))
+    q.processAllAvailable()
+    val afterB1 = spark.read.parquet(s"$out/batch-*")
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(afterB1.values.forall(_ <= 3), afterB1)
+    pagesSlice(120, 360).write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+    val perDomain = spark.read.parquet(s"$out/batch-*")
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perDomain.nonEmpty)
+    perDomain.foreach { case (d, n) =>
+      assert(n <= 3, s"domain $d exceeded the cross-batch cap: $n")
+    }
+    // a domain already full after batch 1 admitted NOTHING in batch 2
+    afterB1.filter(_._2 == 3L).keys.foreach { d =>
+      assert(perDomain(d) == 3L, s"full domain $d grew: ${perDomain(d)}")
+    }
+    // the counts table snapshots are cumulative and atomic-committed
+    val counts = spark.read.parquet(s"$out/_counts/batch-1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == perDomain, s"counts $counts != output $perDomain")
+  }
+
   test("mapGroupsWithState: per-host running state accumulates across batches") {
     val spark = TestSpark.spark
     val in = Files.createTempDirectory("graft-stream-in3").toString
