@@ -88,13 +88,15 @@ object TextStats {
     * in the language's primary script range instead — kana for Japanese,
     * Hangul for Korean, unified ideographs for Chinese. (Kanji-heavy
     * Japanese text with no kana can score as 'zh' — the standard
-    * cheap-heuristic caveat, deterministic and documented.) The range
-    * endpoints are literal BMP chars, valid in both java.util.regex and
-    * RE2 character classes. */
-  private[graft] val ScriptLangs: Seq[(String, String)] = Seq(
-    "ja" -> "[぀-ヿ]",
-    "ko" -> "[가-힣]",
-    "zh" -> "[一-鿿]")
+    * cheap-heuristic caveat, deterministic and documented.) Stored as
+    * inclusive BMP char bounds; [[scriptPat]] renders the regex class —
+    * literal chars, valid in both java.util.regex and RE2. */
+  private[graft] val ScriptLangs: Seq[(String, Char, Char)] = Seq(
+    ("ja", '぀', 'ヿ'),
+    ("ko", '가', '힣'),
+    ("zh", '一', '鿿'))
+
+  private def scriptPat(lo: Char, hi: Char): String = s"[$lo-$hi]"
 
   /** Every language code the argmax can produce (sorted = the tie-break
     * order), plus 'und'. */
@@ -106,36 +108,72 @@ object TextStats {
   private def scriptCount(textCol: Column, pat: String): Column =
     length(textCol) - length(regexp_replace(textCol, pat, ""))
 
-  /** Argmax language with the deterministic (score desc, lang asc)
-    * tie-break via a sorted struct array — the ONE language decision
-    * shared by [[langId]] and [[quality]] so the two can never disagree.
-    * Stopword languages score by distinct-token stoplist overlap; script
-    * languages by script-char count (integer scores in one comparable
-    * space: a genuinely-CJK doc has hundreds of script chars and zero
-    * stopword hits, and vice versa). Returns the best struct (fields:
-    * neg = -score, lang). */
-  private def langBest(textCol: Column): Column = {
+  /** The native one-pass language decision (struct(lang, stop_ratio)) —
+    * the ONE decision shared by [[langGuess]], [[stopwordRatio]] and
+    * therefore [[quality]]/[[langId]]/the curate lang column. See
+    * [[org.apache.spark.sql.graftexpr.LangStats]] for the plan rationale
+    * (the 22-branch declarative formulation made d17 a 49-second query). */
+  private def langStats(textCol: Column): Column =
+    org.apache.spark.sql.graftexpr.GraftExpr.lang_stats(textCol,
+      StopLists, ScriptLangs)
+
+  /** Declarative (built-ins only) twin of the argmax inside
+    * [[org.apache.spark.sql.graftexpr.LangStats]], kept for
+    * cross-checking the native expression in tests — and the formulation
+    * the GENERATED DuckDB oracle SQL mirrors. Returns the best struct
+    * (fields: neg = -score, lang); ties break (score desc, lang asc) via
+    * the struct sort. */
+  private def langBestHof(textCol: Column): Column = {
     val words = array_distinct(tokens(lower(textCol)))
     val scored = array(
       (StopLists.map { case (l, stop) =>
         struct((-size(array_intersect(words, lit(stop.toArray)))).as("neg"),
           lit(l).as("lang"))
-      } ++ ScriptLangs.map { case (l, pat) =>
-        struct((-scriptCount(textCol, pat)).as("neg"), lit(l).as("lang"))
+      } ++ ScriptLangs.map { case (l, lo, hi) =>
+        struct((-scriptCount(textCol, scriptPat(lo, hi))).as("neg"),
+          lit(l).as("lang"))
       }): _*)
     element_at(array_sort(scored), 1)
+  }
+
+  /** Declarative twin of [[langGuess]] (tests only). */
+  private[graft] def langGuessHof(textCol: Column): Column = {
+    val best = langBestHof(textCol)
+    when(best.getField("neg") === 0, lit("und"))
+      .otherwise(best.getField("lang"))
+  }
+
+  /** Declarative twin of [[stopwordRatio]] (tests only). */
+  private[graft] def stopwordRatioHof(textCol: Column): Column = {
+    val toks = tokens(lower(textCol))
+    val best = langBestHof(textCol)
+    val lang = when(best.getField("neg") === 0, lit("en"))
+      .otherwise(best.getField("lang"))
+    def occ(stop: Seq[String]): Column =
+      size(filter(toks, t => array_contains(lit(stop.toArray), t)))
+        .cast("double") / size(toks)
+    val en = occ(StopLists.toMap.apply("en"))
+    val cases: Seq[(String, Column)] =
+      StopLists.filter(_._1 != "en").map { case (l, s) => l -> occ(s) } ++
+        ScriptLangs.map { case (l, lo, hi) =>
+          l -> (scriptCount(textCol, scriptPat(lo, hi)).cast("double") /
+            length(textCol))
+        }
+    cases.tail.foldLeft(when(lang === cases.head._1, cases.head._2)) {
+      case (acc, (l, e)) => acc.when(lang === l, e)
+    }.otherwise(en)
   }
 
   // ---------------- generated oracle SQL fragments (d03/d04/d17) -------
 
   /** One `s_<lang>` score column per language, from the SAME tables as
-    * [[langBest]] — `toksExpr` must be the DuckDB token-array expression,
-    * `textExpr` the raw text column. */
+    * the native LangStats — `toksExpr` must be the DuckDB token-array
+    * expression, `textExpr` the raw text column. */
   private[graft] def langScoresSql(toksExpr: String, textExpr: String): String =
     (StopLists.map { case (l, stop) =>
       s"len(list_intersect(list_distinct($toksExpr), ${sqlList(stop)})) AS s_$l"
-    } ++ ScriptLangs.map { case (l, pat) =>
-      s"LENGTH($textExpr) - LENGTH(regexp_replace($textExpr, '$pat', '', 'g')) AS s_$l"
+    } ++ ScriptLangs.map { case (l, lo, hi) =>
+      s"LENGTH($textExpr) - LENGTH(regexp_replace($textExpr, '${scriptPat(lo, hi)}', '', 'g')) AS s_$l"
     }).mkString(",\n  ")
 
   /** `greatest(s_*)` over every language. */
@@ -162,8 +200,8 @@ object TextStats {
     val whens =
       (StopLists.filter(_._1 != "en").map { case (l, stop) =>
         s"WHEN $pickExpr = '$l' THEN ${occ(stop)}"
-      } ++ ScriptLangs.map { case (l, pat) =>
-        s"WHEN $pickExpr = '$l' THEN CAST(LENGTH($textExpr) - LENGTH(regexp_replace($textExpr, '$pat', '', 'g')) AS DOUBLE) / LENGTH($textExpr)"
+      } ++ ScriptLangs.map { case (l, lo, hi) =>
+        s"WHEN $pickExpr = '$l' THEN CAST(LENGTH($textExpr) - LENGTH(regexp_replace($textExpr, '${scriptPat(lo, hi)}', '', 'g')) AS DOUBLE) / LENGTH($textExpr)"
       }).mkString(" ")
     s"CASE $whens ELSE ${occ(StopLists.toMap.apply("en"))} END"
   }
@@ -195,24 +233,8 @@ object TextStats {
     * script, the same "how much of this text is made of the language's
     * function material" fluency proxy. 'und' falls back to the English
     * list (the only deterministic choice without a language signal). */
-  def stopwordRatio(textCol: Column): Column = {
-    val toks = tokens(lower(textCol))
-    val best = langBest(textCol)
-    val lang = when(best.getField("neg") === 0, lit("en"))
-      .otherwise(best.getField("lang"))
-    def occ(stop: Seq[String]): Column =
-      size(filter(toks, t => array_contains(lit(stop.toArray), t)))
-        .cast("double") / size(toks)
-    val en = occ(StopLists.toMap.apply("en"))
-    val cases: Seq[(String, Column)] =
-      StopLists.filter(_._1 != "en").map { case (l, s) => l -> occ(s) } ++
-        ScriptLangs.map { case (l, pat) =>
-          l -> (scriptCount(textCol, pat).cast("double") / length(textCol))
-        }
-    cases.tail.foldLeft(when(lang === cases.head._1, cases.head._2)) {
-      case (acc, (l, e)) => acc.when(lang === l, e)
-    }.otherwise(en)
-  }
+  def stopwordRatio(textCol: Column): Column =
+    langStats(textCol).getField("stop_ratio")
 
   def punctRatio(textCol: Column): Column =
     (length(textCol) - length(regexp_replace(textCol, "[.,!?;:]", "")))
@@ -262,11 +284,8 @@ object TextStats {
   /** The language-ID guess as ONE column expression (one of [[AllLangs]],
     * or "und" when no signal fires) — the d04 semantics, reusable as a
     * curated-output column. */
-  def langGuess(textCol: Column): Column = {
-    val best = langBest(textCol)
-    when(best.getField("neg") === 0, lit("und"))
-      .otherwise(best.getField("lang"))
-  }
+  def langGuess(textCol: Column): Column =
+    langStats(textCol).getField("lang")
 
   /** Language-ID heuristic: distinct-token overlap with per-language
     * stopword lists; argmax via [[langBest]]. */

@@ -51,6 +51,13 @@ object GraftExpr {
   def repetition_stats(c: Column): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c)))
 
+  /** One-pass language-ID statistics of a string column:
+    * struct(lang, stop_ratio) over the given stopword/script tables. */
+  def lang_stats(c: Column, stopLists: Seq[(String, Seq[String])],
+      scriptLangs: Seq[(String, Char, Char)]): Column =
+    ExpressionUtils.column(
+      LangStats(ExpressionUtils.expression(c), stopLists, scriptLangs))
+
   /** PII scan of a string column (one expression, five sequential
     * category passes): [n_emails, n_phones, n_ipv4, n_ipv6, n_card,
     * redacted_chars]. */
@@ -410,6 +417,144 @@ object CosineSim {
     }
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
+}
+
+/** Language-ID statistics in ONE pass: struct(lang, stop_ratio) — the
+  * argmax language over `stopLists` (distinct-token stoplist overlap) and
+  * `scriptLangs` (script-char counts, for languages whitespace
+  * tokenization carries no signal for), with the (score desc, lang asc)
+  * tie-break, plus the language-aware stopword-occurrence ratio (script
+  * languages: script-char density; no signal at all -> lang 'und' with
+  * the English-list ratio).
+  *
+  * Semantics contract: replicates the declarative twins
+  * (TextStats.langGuessHof / stopwordRatioHof — and therefore the
+  * GENERATED DuckDB oracle SQL) exactly: tokens =
+  * `split(trim(lower(text)), " +")` with UTF8String lower/trim
+  * semantics; intersect counts DISTINCT tokens; occurrence counts all
+  * tokens; char counts are codepoints. Replaces a 22-branch CaseWhen
+  * over a 22-struct array_sort whose interpreted HOF scores made d17 a
+  * 49-second query at sf0.1 (the d05/d11 lesson once more): here each
+  * row pays ONE tokenize + ONE hash lookup per token (word -> language
+  * bitmask over the ~300 pooled stopwords) + ONE char scan. */
+case class LangStats(child: Expression,
+    stopLists: Seq[(String, Seq[String])],
+    scriptLangs: Seq[(String, Char, Char)])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(stopLists.size <= 62, "language bitmask packs into a Long pair")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("stop_ratio", DoubleType, nullable = false)))
+  override def prettyName: String = "lang_stats"
+
+  /** word -> bitmask of stoplist indices containing it (a word like "de"
+    * belongs to several languages). */
+  @transient private lazy val wordMask: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    stopLists.zipWithIndex.foreach { case ((_, words), i) =>
+      words.foreach { w =>
+        val prev = m.get(w)
+        m.put(w, java.lang.Long.valueOf(
+          (if (prev == null) 0L else prev.longValue()) | (1L << i)))
+      }
+    }
+    m
+  }
+  @transient private lazy val stopLangs: Array[String] =
+    stopLists.map(_._1).toArray
+  @transient private lazy val enIdx: Int = stopLangs.indexOf("en")
+  @transient private lazy val scripts: Array[(String, Char, Char)] =
+    scriptLangs.toArray
+  // evaluation order for the argmax tie-break: all languages ascending
+  @transient private lazy val ordered: Array[(String, Int, Boolean)] = {
+    // (lang, index into its score array, isScript)
+    val all = stopLangs.zipWithIndex.map { case (l, i) => (l, i, false) } ++
+      scripts.zipWithIndex.map { case ((l, _, _), i) => (l, i, true) }
+    all.sortBy(_._1).toArray
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    evalRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langStats", this,
+      "org.apache.spark.sql.graftexpr.LangStats")
+    defineCodeGen(ctx, ev, c => s"$ref.evalRow($c)")
+  }
+
+  def evalRow(u: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = u.toLowerCase.trim.toString // UTF8String lower/trim semantics
+    val tokens = LangStats.SpacePlus.split(s, -1) // split(trim(lower), " +")
+    val nToks = tokens.length
+    // one pass: per-language occurrence counts + distinct-token overlap
+    val occ = new Array[Int](stopLangs.length)
+    val hit = new Array[Int](stopLangs.length) // distinct overlap
+    val seen = new java.util.HashSet[String](nToks * 2)
+    var i = 0
+    while (i < nToks) {
+      val t = tokens(i)
+      val mask = wordMask.get(t)
+      if (mask != null) {
+        var m = mask.longValue()
+        val fresh = seen.add(t)
+        while (m != 0L) {
+          val j = java.lang.Long.numberOfTrailingZeros(m)
+          occ(j) += 1
+          if (fresh) hit(j) += 1
+          m &= m - 1
+        }
+      }
+      i += 1
+    }
+    // one char scan over the RAW text: per-script counts + codepoints
+    val raw = u.toString
+    val scriptCount = new Array[Int](scripts.length)
+    var textChars = 0
+    i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      var k = 0
+      while (k < scripts.length) {
+        if (c >= scripts(k)._2 && c <= scripts(k)._3) scriptCount(k) += 1
+        k += 1
+      }
+      textChars += 1
+      if (Character.isHighSurrogate(c) && i + 1 < raw.length &&
+        Character.isLowSurrogate(raw.charAt(i + 1))) i += 1 // codepoints
+      i += 1
+    }
+    // argmax, ties to the lexicographically smallest language
+    var bestScore = 0
+    var bestLang: String = null
+    var bestIdx = -1
+    var bestIsScript = false
+    var o = 0
+    while (o < ordered.length) {
+      val (l, idx, isScript) = ordered(o)
+      val score = if (isScript) scriptCount(idx) else hit(idx)
+      if (score > bestScore) {
+        bestScore = score; bestLang = l; bestIdx = idx; bestIsScript = isScript
+      }
+      o += 1
+    }
+    val (lang, ratio) =
+      if (bestScore == 0)
+        ("und", if (nToks == 0) Double.NaN else occ(enIdx).toDouble / nToks)
+      else if (bestIsScript)
+        (bestLang, scriptCount(bestIdx).toDouble / textChars)
+      else (bestLang, occ(bestIdx).toDouble / nToks)
+    org.apache.spark.sql.catalyst.InternalRow(
+      UTF8String.fromString(lang), ratio)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangStats =
+    copy(child = newChild)
+}
+
+object LangStats {
+  private[graftexpr] val SpacePlus = java.util.regex.Pattern.compile(" +")
 }
 
 /** One-EXPRESSION PII scan: [n_emails, n_phones, n_ipv4, n_ipv6, n_card,

@@ -380,15 +380,40 @@ class OpsSpec extends AnyFunSuite {
     val zh = Seq((1L, "这是一段没有空格的中文文本")).toDF("doc_id", "text")
       .select(TextStats.stopwordRatio(col("text"))).head().getDouble(0)
     assert(zh == 1.0, s"pure-CJK density must be 1.0: $zh")
-    // the c14 corpus plants ru/el/zh docs that survive extraction
+    // the c15 corpus plants ru/el/zh docs that survive extraction; the
+    // NATIVE LangStats must match the declarative twin doc-for-doc on
+    // both the guess and the ratio (the twin is what the generated
+    // oracle SQL mirrors)
     val pages = graft.corpus.CorpusWriter.pagesDs(spark, 300L, partitions = 4)
     val ex = graft.pipeline.ExtractPipeline.run(pages,
       graft.pipeline.ExtractPipeline.Config(partitions = 8)).toDF()
       .where(col("status") === "finished")
-      .select(TextStats.langGuess(col("text").cast("string")).as("g"))
-    val guessed = ex.groupBy("g").count().collect().map(_.getString(0)).toSet
+      .select(col("url"), col("text").cast("string").as("text"))
+    val both = ex.select(col("url"),
+      TextStats.langGuess(col("text")).as("g"),
+      TextStats.langGuessHof(col("text")).as("gh"),
+      round(TextStats.stopwordRatio(col("text")), 4).as("r"),
+      round(TextStats.stopwordRatioHof(col("text")), 4).as("rh")).collect()
+    both.foreach { r =>
+      assert(r.getString(1) == r.getString(2), s"lang native!=hof: $r")
+      assert(r.getDouble(3) == r.getDouble(4), s"ratio native!=hof: $r")
+    }
+    val guessed = both.map(_.getString(1)).toSet
     Seq("ru", "el", "zh").foreach(l =>
       assert(guessed.contains(l), s"corpus must yield $l docs: $guessed"))
+    // crafted adversarial twins too (ties, script mixes, empties)
+    val adv = (crafted.map(_._2) ++ Seq("", " ", "de la le and и 和",
+      "on on on", "i w de en und"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .select(TextStats.langGuess(col("text")).as("g"),
+        TextStats.langGuessHof(col("text")).as("gh"),
+        round(TextStats.stopwordRatio(col("text")), 4).as("r"),
+        round(TextStats.stopwordRatioHof(col("text")), 4).as("rh")).collect()
+    adv.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"lang native!=hof: $r")
+      assert(r.getDouble(2) == r.getDouble(3), s"ratio native!=hof: $r")
+    }
   }
 
   test("passage dedup: precondition-violating mirrored corpus stays correct (no forced broadcast)") {
