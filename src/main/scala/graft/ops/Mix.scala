@@ -69,8 +69,12 @@ object Mix {
     val offsets = keyed.groupBy(col("_grp"), col("_bkt"))
       .agg(sum(tokensCol).as("_bktTotal"))
       .withColumn("_offset", coalesce(sum(col("_bktTotal")).over(wOff), lit(0L)))
-      .select(col("_grp"), col("_bkt"), col("_offset"))
-    within.join(offsets, Seq("_grp", "_bkt"))
+      .select(col("_grp").as("_og"), col("_bkt").as("_ob"), col("_offset"))
+    // null-SAFE join keys: the window formulation puts NULL-keyed rows in
+    // their own partition and emits them — the offset join must match
+    // them too for the documented plan equivalence to hold
+    within.join(offsets,
+        col("_grp") <=> col("_og") && col("_bkt") <=> col("_ob"))
       .withColumn("running_tokens", col("_offset") + col("_within"))
       .where(col("running_tokens") <= budget)
       .select(df.columns.map(col).toSeq :+ col("running_tokens"): _*)

@@ -285,8 +285,15 @@ object Urls {
   def capPerDomain(df: DataFrame, urlCol: String, tsCol: String, cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
     val keep = domainRank(df, urlCol, tsCol)
-      .where(col("_rn") <= cap).select(col(urlCol), col(tsCol))
-    df.join(keep, Seq(urlCol, tsCol), "left_semi")
+      .where(col("_rn") <= cap)
+      .select(col(urlCol).as("_keep_url"), col(tsCol).as("_keep_ts"))
+    // null-SAFE equality: the window ranks a NULL-ts row (NULLS FIRST)
+    // and keeps it under the cap, so the join back must match it too —
+    // a plain equi-join would silently drop it and desync this operator
+    // from domainStats' direct rank
+    df.join(keep,
+      col(urlCol) <=> col("_keep_url") && col(tsCol) <=> col("_keep_ts"),
+      "left_semi")
   }
 
   /** Per-domain corpus statistics: doc count, distinct urls, the count

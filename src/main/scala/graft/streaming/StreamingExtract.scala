@@ -1,7 +1,5 @@
 package graft.streaming
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -186,42 +184,37 @@ object StreamingExtract {
     val unique = dedupStream(src, urlDedup, watermark)
     unique.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        import java.nio.file.{Files, Paths, StandardCopyOption}
-        def moveAtomic(tmp: java.nio.file.Path, dst: java.nio.file.Path): Unit =
-          try Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            // lost a (theoretical) replay race: the other writer's dir is
-            // complete and identical — discard ours
-            case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.FileSystemException if Files.exists(dst) =>
-              Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
-                .forEach(p => Files.deleteIfExists(p))
-          }
-        def writeAtomic(df: org.apache.spark.sql.DataFrame,
-            dst: java.nio.file.Path): Unit = {
-          val tmp = Paths.get(outputDir,
-            s".tmp-${dst.getFileName}-${java.util.UUID.randomUUID()}")
+        import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+        // Hadoop FileSystem, NOT java.nio: outputDir may be hdfs://s3a://
+        // etc. — java.nio would mangle URI paths the Spark writer
+        // resolves (Main.countRowsOrZero documents the same trap), and
+        // FileSystem.rename is the API with the atomic-dir-rename
+        // contract on HDFS (object stores still need their own commit
+        // layer — see the scaladoc)
+        val outRoot = new HPath(outputDir)
+        val fs: FileSystem =
+          outRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def writeAtomic(df: org.apache.spark.sql.DataFrame, dst: HPath): Unit = {
+          val tmp = new HPath(outRoot,
+            s".tmp-${dst.getName}-${java.util.UUID.randomUUID()}")
           df.write.mode("overwrite").parquet(tmp.toString)
-          moveAtomic(tmp, dst)
+          // a false rename means a (theoretical) replay race lost: the
+          // other writer's dir is complete and identical — discard ours
+          if (!fs.rename(tmp, dst)) fs.delete(tmp, true)
         }
         // cross-batch cap state: the latest committed cumulative
         // (domain, kept) snapshot from an earlier batch
-        val countsRoot = Paths.get(outputDir, "_counts")
-        val prior: Option[org.apache.spark.sql.DataFrame] = {
-          if (!Files.exists(countsRoot)) None
-          else {
-            val s = Files.list(countsRoot)
-            val ids =
-              try s.iterator().asScala.map(_.getFileName.toString).collect {
-                case n if n.startsWith("batch-") => n.stripPrefix("batch-").toLong
-              }.filter(_ < batchId).toSeq
-              finally s.close()
-            ids.sorted.lastOption.map(m =>
-              spark.read.parquet(countsRoot.resolve(s"batch-$m").toString))
-          }
-        }
-        val committed = Paths.get(outputDir, s"batch-$batchId")
-        if (!Files.exists(committed)) {
+        val countsRoot = new HPath(outRoot, "_counts")
+        def countIds(): Seq[Long] =
+          if (!fs.exists(countsRoot)) Nil
+          else fs.listStatus(countsRoot).toSeq.map(_.getPath.getName)
+            .collect { case n if n.startsWith("batch-") =>
+              n.stripPrefix("batch-").toLong }
+        val prior: Option[org.apache.spark.sql.DataFrame] =
+          countIds().filter(_ < batchId).sorted.lastOption.map(m =>
+            spark.read.parquet(new HPath(countsRoot, s"batch-$m").toString))
+        val committed = new HPath(outRoot, s"batch-$batchId")
+        if (!fs.exists(committed)) {
           // the extracted batch is referenced from BOTH curate chains (the
           // tapped output and the metadata cap-rank twin) — persist it for
           // the batch's duration so extraction runs once per row, not
@@ -240,9 +233,9 @@ object StreamingExtract {
         // cumulative counts AFTER this batch, derived from the committed
         // output (so a crash between the two writes replays correctly:
         // output present + counts absent -> counts re-derived, identical)
-        val countsDst = countsRoot.resolve(s"batch-$batchId")
-        if (!Files.exists(countsDst)) {
-          Files.createDirectories(countsRoot)
+        val countsDst = new HPath(countsRoot, s"batch-$batchId")
+        if (!fs.exists(countsDst)) {
+          fs.mkdirs(countsRoot)
           val batchKept = spark.read.parquet(committed.toString)
             .groupBy(col("domain")).agg(count(lit(1)).as("kept"))
           val cumulative = prior match {
@@ -253,6 +246,11 @@ object StreamingExtract {
           }
           writeAtomic(cumulative, countsDst)
         }
+        // prune superseded snapshots: only the LATEST counts dir is ever
+        // read again (foreachBatch replays at most the current batch), so
+        // a long-lived stream must not accumulate one dir per micro-batch
+        countIds().filter(_ < batchId)
+          .foreach(m => fs.delete(new HPath(countsRoot, s"batch-$m"), true))
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -631,11 +631,21 @@ object PiiScan {
   val Phone = "\\+[0-9]{7,15}"
   val Ipv4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
-  /** IPv6: the full 8-group form, or a `::`-compressed form (the double
-    * colon is REQUIRED in the second alternative, so clock times
-    * `12:30:45` and MAC addresses — single colons only — never match). */
+  /** IPv6: the full 8-group form, a `::`-compressed form with at least
+    * one leading group (`fe80::1`), or a LEADING-`::` form with at least
+    * one trailing group (`::1`, `::ffff:a.b.c.d`'s hex prefix). The
+    * double colon is REQUIRED outside the full form, so clock times
+    * `12:30:45` and MAC addresses (single colons only) never match; the
+    * bare unspecified address `::` is deliberately NOT matched — web text
+    * is full of `::`-as-scope-operator (C++ `std::vector`) and matching
+    * naked `::` would shred it. Known conservative trade-off of the
+    * no-lookaround (RE2-safe) pattern class: a lone hex-looking char
+    * before `::` (the `d` in `std::vector`) still reads as a compressed
+    * address — deterministic, mirrored in the oracle, and preferable to
+    * missing real addresses. */
   val Ipv6 = "([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}|" +
-    "([0-9A-Fa-f]{1,4}:){1,7}:([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,6})?"
+    "([0-9A-Fa-f]{1,4}:){1,7}:([0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,6})?|" +
+    "::[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,6}"
 
   /** Payment-card shape: four 4-digit groups separated by one space or
     * dash, or a bare 13-16 digit run — the conservative Luhn-free

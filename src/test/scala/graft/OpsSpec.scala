@@ -498,6 +498,19 @@ class OpsSpec extends AnyFunSuite {
     val one = graft.ops.Mix.tokenBudgetPerGroupBucketed(df, col("g"),
       lit(0), Seq(col("id")), col("n"), budget = 700L)
     assert(rows(one) == rows(win))
+    // NULL group keys form their own window partition in BOTH variants —
+    // the bucketed offset join is null-safe, so the row sets still match
+    val withNullG = Seq((null.asInstanceOf[String], 1L, 10L),
+      (null.asInstanceOf[String], 2L, 10L), ("a", 3L, 10L))
+      .toDF("g", "id", "n")
+    def rowsN(d: org.apache.spark.sql.DataFrame) = d
+      .select("id", "running_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(
+      rowsN(graft.ops.Mix.tokenBudgetPerGroupBucketed(withNullG, col("g"),
+        col("id") / 2, Seq(col("id")), col("n"), budget = 15L)) ==
+      rowsN(graft.ops.Mix.tokenBudgetPerGroup(withNullG, col("g"),
+        Seq(col("id")), col("n"), budget = 15L)))
   }
 
   test("urls: canonicalize strips fragments/ports/slashes, lowercases prefix only") {
@@ -591,6 +604,16 @@ class OpsSpec extends AnyFunSuite {
       ((3L, 3L, 2L, "https://x.d.com/2", "https://x.d.com/3", 1)))
     assert(stats("e.com") ==
       ((1L, 1L, 1L, "https://y.e.com/1", "https://y.e.com/1", 0)))
+    // a NULL-ts row is ranked (NULLS FIRST) and must survive the
+    // null-safe semi-join — capPerDomain and domainStats agree on it
+    val withNullTs = Seq(("https://n.f.com/1", Some(5L)),
+      ("https://n.f.com/2", None)).toDF("url", "ts")
+    val keptN = Urls.capPerDomain(withNullTs, "url", "ts", 1)
+      .select("url").collect().map(_.getString(0)).toSeq
+    assert(keptN == Seq("https://n.f.com/2"), s"NULL ts sorts first: $keptN")
+    val statsN = Urls.domainStats(withNullTs, "url", "ts", cap = 1, block = Nil)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getString(4))).toMap
+    assert(statsN("f.com") == ((1L, "https://n.f.com/2")), statsN)
   }
 
   test("pii: counts exact, redaction equals java.util.regex on fixtures") {
@@ -602,7 +625,12 @@ class OpsSpec extends AnyFunSuite {
       (3L, "two mails a@b.io and c.d%x@e-f.net plus ip 192.168.0.1 end"),
       (4L, "not a phone 12345, not an ip 1.2, not a mail foo@bar"),
       (5L, "node 2001:db8:1:2::3 and fe80::1 are ipv6; 12:30:45 is a time"),
-      (6L, "card 4111 1111 1111 1111 or bare 4222222222222222 end"))
+      (6L, "card 4111 1111 1111 1111 or bare 4222222222222222 end"),
+      (7L, "loopback ::1 works; naked :: pairs do not match"),
+      // the documented conservative trade-off: a hex-looking char before
+      // '::' reads as a compressed address ("d::" here) — pinned so a
+      // future pattern change is a conscious decision
+      (8L, "std::vector is code"))
     val df = rows.toDF("doc_id", "text")
     def redact(s: String): String = s
       .replaceAll(TextStats.EmailPat, "<EMAIL>")
@@ -621,6 +649,9 @@ class OpsSpec extends AnyFunSuite {
     // clock times (single colons) are NOT ipv6; :: compressed forms are
     assert(got(5L) == ((0, 0, 0, 2, 0, redact(rows(4)._2).length)), got(5L))
     assert(got(6L) == ((0, 0, 0, 0, 2, redact(rows(5)._2).length)), got(6L))
+    // leading-:: form matches; a bare '::' does not
+    assert(got(7L) == ((0, 0, 0, 1, 0, redact(rows(6)._2).length)), got(7L))
+    assert(got(8L) == ((0, 0, 0, 1, 0, redact(rows(7)._2).length)), got(8L))
     // the corpus plants PII that must survive extraction: finished pages
     // carry redactable emails AND the c12 ipv6/card categories
     val pages = graft.corpus.CorpusWriter.pagesDs(spark, 300L, partitions = 4)
