@@ -189,9 +189,18 @@ object Curate {
     * would funnel the domain's whole text volume into one window task).
     * The wide stage operators (exact-dedup winners, near-dup reps, hot
     * paragraphs, contamination hits) are SHARED single frames joined from
-    * both chains, so their aggregations are computed once (ReuseExchange);
-    * the narrow scan+filter work is computed per chain — a second
-    * columnar-pruned scan pass, the same accepted diamond as x01/d13.
+    * both chains, so their aggregations run once — probe-measured on the
+    * executed AQE plan: 19 ReusedExchange references over 7 distinct
+    * shuffles + 7 broadcasts with every stage enabled. The cost of the
+    * twin: the INPUT subtree is evaluated once per non-reused branch
+    * (~7 with all stages on). In the batch job the input is the committed
+    * snapshot — 7 parallel, columnar-pruned parquet scans, which is the
+    * deliberate trade against holding a corpus-sized cache; in streaming
+    * curate the caller persists the extracted micro-batch first, so
+    * extraction itself still runs once per row regardless of branch
+    * count. Callers feeding an UNMATERIALIZED expensive lineage (e.g.
+    * extraction output not yet written) should persist or checkpoint it
+    * before calling curate.
     *
     * PRECONDITION: `url` uniquely identifies a row of `data` — guaranteed
     * by the extraction table (url-dedup at ingest + resume anti-join);
