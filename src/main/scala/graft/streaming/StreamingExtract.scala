@@ -198,9 +198,23 @@ object StreamingExtract {
           val tmp = new HPath(outRoot,
             s".tmp-${dst.getName}-${java.util.UUID.randomUUID()}")
           df.write.mode("overwrite").parquet(tmp.toString)
-          // a false rename means a (theoretical) replay race lost: the
-          // other writer's dir is complete and identical — discard ours
-          if (!fs.rename(tmp, dst)) fs.delete(tmp, true)
+          // Hadoop rename contract, handled precisely: (a) if dst already
+          // exists AND is a dir, rename moves tmp INSIDE it and returns
+          // true — that is a lost replay race (the winner's dir is
+          // complete and identical), so the nested copy is removed;
+          // (b) a false return is a REAL failure and must fail the batch
+          // loudly (swallowing it would commit nothing and let the prune
+          // below erase the only surviving counts snapshot) — unless a
+          // racer created dst in the meantime, which is again case (a).
+          if (fs.rename(tmp, dst)) {
+            val nested = new HPath(dst, tmp.getName)
+            if (fs.exists(nested)) fs.delete(nested, true)
+          } else {
+            fs.delete(tmp, true)
+            if (!fs.exists(dst))
+              throw new java.io.IOException(
+                s"atomic commit failed: rename $tmp -> $dst")
+          }
         }
         // cross-batch cap state: the latest committed cumulative
         // (domain, kept) snapshot from an earlier batch

@@ -441,7 +441,7 @@ case class LangStats(child: Expression,
     stopLists: Seq[(String, Seq[String])],
     scriptLangs: Seq[(String, Char, Char)])
     extends UnaryExpression with ExpectsInputTypes {
-  require(stopLists.size <= 62, "language bitmask packs into a Long pair")
+  require(stopLists.size <= 64, "language bitmask packs into one Long")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = StructType(Seq(
@@ -465,13 +465,19 @@ case class LangStats(child: Expression,
   @transient private lazy val stopLangs: Array[String] =
     stopLists.map(_._1).toArray
   @transient private lazy val enIdx: Int = stopLangs.indexOf("en")
-  @transient private lazy val scripts: Array[(String, Char, Char)] =
-    scriptLangs.toArray
+  // parallel primitive arrays (not the Tuple3s — Tuple3 is unspecialized
+  // and would box a Character per bound access in the per-char hot loop)
+  @transient private lazy val scriptNames: Array[String] =
+    scriptLangs.map(_._1).toArray
+  @transient private lazy val scriptLo: Array[Char] =
+    scriptLangs.map(_._2).toArray
+  @transient private lazy val scriptHi: Array[Char] =
+    scriptLangs.map(_._3).toArray
   // evaluation order for the argmax tie-break: all languages ascending
   @transient private lazy val ordered: Array[(String, Int, Boolean)] = {
     // (lang, index into its score array, isScript)
     val all = stopLangs.zipWithIndex.map { case (l, i) => (l, i, false) } ++
-      scripts.zipWithIndex.map { case ((l, _, _), i) => (l, i, true) }
+      scriptNames.zipWithIndex.map { case (l, i) => (l, i, true) }
     all.sortBy(_._1).toArray
   }
 
@@ -510,14 +516,14 @@ case class LangStats(child: Expression,
     }
     // one char scan over the RAW text: per-script counts + codepoints
     val raw = u.toString
-    val scriptCount = new Array[Int](scripts.length)
+    val scriptCount = new Array[Int](scriptNames.length)
     var textChars = 0
     i = 0
     while (i < raw.length) {
       val c = raw.charAt(i)
       var k = 0
-      while (k < scripts.length) {
-        if (c >= scripts(k)._2 && c <= scripts(k)._3) scriptCount(k) += 1
+      while (k < scriptLo.length) {
+        if (c >= scriptLo(k) && c <= scriptHi(k)) scriptCount(k) += 1
         k += 1
       }
       textChars += 1
