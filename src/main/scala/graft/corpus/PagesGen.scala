@@ -79,8 +79,10 @@ object PagesGen {
     * lang rotation so the widened 22-language ID (TextStats
     * StopLists/ScriptLangs) is exercised on corpus text that survives
     * extraction — incl. a script-scored language with no whitespace
-    * tokens. */
-  val CorpusVersion = "c15"
+    * tokens.
+    * c16: ja (kana-only pool) and ko (Hangul) join the rotation — every
+    * script-scored branch of the language ID is corpus-exercised. */
+  val CorpusVersion = "c16"
 
   // fixed multilingual word pools (fi / sv / en flavor for `lang` variety)
   private val WordsEn = Array(
@@ -117,6 +119,20 @@ object PagesGen {
     "数据", "系统", "文件", "内容", "服务", "报告", "价值", "公共", "档案",
     "质量", "数量", "窗口", "批次", "分区", "表格", "引擎", "结果", "模型",
     "页面", "网络", "搜索", "语言", "文本", "法律")
+  // ja pool is deliberately KANA-only (katakana loanwords + hiragana
+  // particles, no kanji): kanji chars live in the CJK-ideograph range the
+  // zh score counts, and a kanji-heavy pool would (correctly, per the
+  // documented heuristic) classify as zh — the corpus exercises the
+  // kana-range branch
+  private val WordsJa = Array(
+    "データ", "システム", "ファイル", "サービス", "モデル", "ページ",
+    "テキスト", "アーカイブ", "クラスタ", "パーティション", "エンジン",
+    "ストリーム", "バッチ", "これ", "それ", "など", "です", "ます",
+    "から", "まで", "ください", "について")
+  private val WordsKo = Array(
+    "데이터", "시스템", "파일", "내용", "서비스", "보고서", "가치", "공공",
+    "기록", "품질", "수량", "창", "흐름", "배치", "파티션", "표", "엔진",
+    "결과", "모델", "페이지", "네트워크", "검색", "언어", "텍스트")
 
   private def pool(lang: String): Array[String] = lang match {
     case "fi" => WordsFi
@@ -124,6 +140,8 @@ object PagesGen {
     case "ru" => WordsRu
     case "el" => WordsEl
     case "zh" => WordsZh
+    case "ja" => WordsJa
+    case "ko" => WordsKo
     case _ => WordsEn
   }
 
@@ -149,10 +167,11 @@ object PagesGen {
   def paragraph(r: Rng, lang: String, sentences: Int): String =
     (0 until sentences).map(_ => sentence(r, lang)).mkString(" ")
 
-  // weighted rotation; ru/el/zh joined in c14 so non-Latin scripts flow
+  // weighted rotation; ru/el/zh joined in c14, ja/ko in c16 — all five
+  // non-Latin scripts (incl. both CJK script-scored branches) flow
   // through extraction, curation and the d17 language query
   private val Langs = Array("en", "fi", "sv", "en", "ru", "fi", "el", "en",
-    "zh", "sv")
+    "zh", "sv", "ja", "ko")
 
   /** Category by row index — fixed proportions (FIXTURES.md §3). The c6
     * slice covers the reference's whole 24-mimetype registry

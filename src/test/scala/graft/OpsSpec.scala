@@ -399,7 +399,7 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getDouble(3) == r.getDouble(4), s"ratio native!=hof: $r")
     }
     val guessed = both.map(_.getString(1)).toSet
-    Seq("ru", "el", "zh").foreach(l =>
+    Seq("ru", "el", "zh", "ja", "ko").foreach(l =>
       assert(guessed.contains(l), s"corpus must yield $l docs: $guessed"))
     // crafted adversarial twins too (ties, script mixes, empties)
     val adv = (crafted.map(_._2) ++ Seq("", " ", "de la le and и 和",
