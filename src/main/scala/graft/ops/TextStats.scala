@@ -210,12 +210,14 @@ object TextStats {
     * the C4/Gopher-style cheap filters. Deterministic double math.
     *
     * LANGUAGE-AWARE (r4 verdict #3): the stopword ratio is scored against
-    * the [[langBest]]-argmax language's stoplist — scoring a German doc
-    * against the English list gave it a spuriously low stopword_ratio and
+    * the argmax language's own signal — scoring a German doc against the
+    * English list gave it a spuriously low stopword_ratio and
     * quality_score. Documents matching NO list ("und") fall back to the
     * English list (the prior behavior, and the only deterministic choice
-    * without a language signal). CaseWhen evaluates only the matched
-    * branch, so each row pays for ONE stoplist filter, not four. */
+    * without a language signal). Both the argmax and the picked-language
+    * ratio come from the ONE native LangStats pass (see
+    * [[stopwordRatio]]), so a row pays one tokenize + one lookup per
+    * token — not a per-language filter chain. */
   def quality(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
