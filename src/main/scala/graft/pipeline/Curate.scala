@@ -385,6 +385,14 @@ object Curate {
       id <- table.currentSnapshotId
       data <- table.read(spark)
     } yield {
+      // the near-dedup stage needs a RELIABLE checkpoint dir; the curated
+      // output root is by definition storage every executor can reach, so
+      // default the checkpoint location there instead of letting the
+      // driver-local fallback fire (correct on a real cluster, not just
+      // local mode). An explicitly-set dir always wins; readers ignore
+      // `_checkpoints` (the snapshot table only walks data/manifests).
+      if (opts.nearDedup.isDefined && spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(s"$curatedDir/_checkpoints")
       val benchGrams = opts.decontaminatePath.map(p =>
         graft.ops.Dedup.benchGramHashes(readBench(spark, p)))
       val metrics = new StageMetrics

@@ -166,6 +166,10 @@ object StreamingExtract {
       urlDedup: UrlDedup = UrlDedup.Global,
       watermark: String = "1 hour"): StreamingQuery = {
     import spark.implicits._
+    // near-dedup checkpoints default to the (shared-storage) output root,
+    // exactly like Curate.run — never the driver-local fallback
+    if (opts.nearDedup.isDefined && spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(s"$outputDir/_checkpoints")
     // the decontaminate option is honored here exactly like Curate.run:
     // the benchmark is a BATCH table, read + validated once up front (a
     // bad path/schema fails at start, not mid-stream). Its distinct
