@@ -370,6 +370,24 @@ object SparkEntry {
         TextStats.langGuess(col("text")).as("lang_guess"),
         round(TextStats.stopwordRatio(col("text")), 4).as("stopword_ratio"))
     }),
+    "d18_holdout_split" -> ((s, d) => {
+      // deterministic train/validation/test holdout: membership is a pure
+      // function of (salt, doc_id) — stable under corpus growth, uniform
+      // within any subpopulation (stratified without a per-group pass).
+      // Per-doc assignment value-compared; the oracle CASE thresholds are
+      // GENERATED from the same fractions (Mix.holdoutSplitSql).
+      graft.ops.Mix.holdoutSplit(
+          t(s, d, "documents").select(col("doc_id"), col("lang")),
+          col("doc_id"), testFrac = 0.1, valFrac = 0.1)
+        .select(col("doc_id"), col("lang"), col("bucket"), col("split"))
+    }),
+    "d19_dup_windows" -> ((s, d) =>
+      // exact-substring dedup signal (Lee et al. ACL 2022): per doc, how
+      // many of its 20-token sliding windows repeat in other docs. The
+      // engine groups 128-bit window hashes; DuckDB independently groups
+      // the window STRINGS — so the check also certifies the hash path
+      // against a collision-free formulation.
+      Dedup.dupWindowStats(t(s, d, "documents"), k = 20, maxDocs = 1)),
     "d13_domains" -> ((s, d) => {
       // URL/domain curation over the crawl METADATA (no payload reads):
       // per registered domain — doc count, distinct urls, survivors of a
@@ -826,6 +844,40 @@ object SparkEntry {
         | FROM d)
         |SELECT doc_id, lang, n_tokens, running_tokens
         |FROM r WHERE running_tokens <= 50000 ORDER BY lang, doc_id""".stripMargin,
+    // holdout split: the bucket expression and the threshold CASE are
+    // generated from the same Mix constants the Spark plan compiles, so
+    // the fraction->hex-cut-point arithmetic cannot drift; both engines
+    // compare fixed-width lowercase md5 hex lexicographically
+    "d18_holdout_split" ->
+      s"""SELECT doc_id, lang,
+         | ${graft.ops.Mix.holdoutBucketSql("doc_id", "split")} AS bucket,
+         | ${graft.ops.Mix.holdoutSplitSql(
+               graft.ops.Mix.holdoutBucketSql("doc_id", "split"), 0.1, 0.1)} AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // repeated-window stats: DuckDB re-derives every 20-token sliding
+    // window AS A STRING (same trim/' +'-split tokenization as d02),
+    // groups strings where the engine groups 128-bit hashes, and
+    // recomputes the per-doc dup counts — a value check of the whole
+    // window pipeline AND a collision check of the hash formulation
+    "d19_dup_windows" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), ' +') AS tk FROM documents),
+        |base AS (
+        | SELECT doc_id, tk, greatest(len(tk) - 19, 0) AS nw FROM toks),
+        |win AS (
+        | SELECT doc_id, array_to_string(tk[i:i+19], ' ') AS w
+        | FROM (SELECT doc_id, tk, unnest(generate_series(1, nw)) AS i
+        |       FROM base WHERE nw >= 1)),
+        |hot AS (
+        | SELECT w FROM win GROUP BY w HAVING count(distinct doc_id) > 1),
+        |dup AS (
+        | SELECT doc_id, count(*) AS n_dup FROM win
+        | WHERE w IN (SELECT w FROM hot) GROUP BY doc_id)
+        |SELECT b.doc_id,
+        | CAST(b.nw AS BIGINT) AS n_windows,
+        | CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
+        | round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / nullif(b.nw, 0), 4) AS dup_frac
+        |FROM base b LEFT JOIN dup d USING (doc_id) ORDER BY b.doc_id""".stripMargin,
     // url canonicalization: DuckDB re-derives the same six variants per
     // corpus url and re-runs the same rule chain (strip fragment,
     // lowercase scheme://host, drop default ports, strip trailing

@@ -404,6 +404,58 @@ object Dedup {
         coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** Cross-document repeated-window statistics — the detection half of
+    * exact substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022: their ExactSubstr finds
+    * 50-token spans shared across docs via a suffix array; the
+    * Spark-native equivalent is this k-token sliding-window hash join).
+    * Every k-token window of every doc is keyed by the 128-bit
+    * [[exactKeyCols]] key; a window seen in more than `maxDocs` distinct
+    * docs is duplicated text. Per doc: total window count, duplicated
+    * window count, and the duplicated fraction (null when the doc is
+    * shorter than k tokens) — the standard signal for span-level dedup
+    * policies (drop docs above a dup fraction, or excise the spans).
+    *
+    * Scale shape: the window explosion amplifies the corpus ~k-fold, but
+    * only TRANSIENTLY inside a projection — what leaves each map task is
+    * the ~28-byte (id, _h1, _h2, _len) row, and the distinct-doc count
+    * partially aggregates map-side. The hot set (boilerplate + mirrored
+    * passages) is a small fraction of distinct windows, so AQE broadcasts
+    * the semi-join at runtime (no hint, same degrade-not-die reasoning as
+    * [[stripRepeatedParagraphs]]); the final per-doc count shuffles ids
+    * only. The window stream is evaluated once per consumer (hot-set agg
+    * + probe) rather than cached — recompute-over-corpus-sized-cache, the
+    * same trade the curate chain makes. PRECONDITION at scale: run
+    * [[exact]] document dedup first, or mirrored whole docs flood the
+    * hot set with their entire window streams. */
+  def dupWindowStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 20, maxDocs: Int = 1): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens: $k")
+    require(maxDocs >= 1, s"maxDocs must be >= 1: $maxDocs")
+    val base = docs
+      .select(col(idCol).as("id"), TextStats.tokens(col(textCol)).as("tk"))
+      .withColumn("nw", greatest(size(col("tk")) - (k - 1), lit(0)))
+    // sequence(1, nw) only when nw >= 1: Spark's sequence RUNS BACKWARDS
+    // for stop < start (sequence(1, 0) = [1, 0]), it does not return []
+    val win = base.where(col("nw") >= 1)
+      .select(col("id"), explode(transform(sequence(lit(1), col("nw")),
+        i => concat_ws(" ", slice(col("tk"), i, lit(k))))).as("w"))
+      .select(col("id") +: exactKeyCols(col("w")): _*)
+    val hot = win.groupBy(col("_h1"), col("_h2"), col("_len"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .where(col("nd") > maxDocs)
+      .select("_h1", "_h2", "_len")
+    val dup = win.join(hot, Seq("_h1", "_h2", "_len"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
+    base.select(col("id"), col("nw"))
+      .join(dup, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("nw").cast("long").as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") /
+          nullif(col("nw").cast("long"), lit(0L)), 4).as("dup_frac"))
+  }
+
   /** SimHash (Charikar 2002): 64-bit signature where bit j is the sign of
     * the sum over tokens of (bit j of token hash ? +1 : -1). Docs within a
     * small Hamming distance are near-dups. Backed by the native Catalyst

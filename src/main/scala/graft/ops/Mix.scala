@@ -79,4 +79,63 @@ object Mix {
       .where(col("running_tokens") <= budget)
       .select(df.columns.map(col).toSeq :+ col("running_tokens"): _*)
   }
+
+  /** Deterministic holdout assignment (train/validation/test) — the split
+    * step of a training-data pipeline. Membership is a PURE FUNCTION of
+    * (salt, id): `bucket` = the first 4 hex chars of md5("&lt;salt&gt;:&lt;id&gt;")
+    * (16 bits — 65536 buckets), compared lexicographically against the
+    * fraction thresholds (fixed-width lowercase hex, so string order IS
+    * numeric order). That buys three properties random sampling lacks:
+    * the split is stable across runs, machines and partitionings; a doc
+    * never migrates between splits when the corpus grows (new docs land
+    * in their own buckets, existing assignments are untouched — the
+    * contamination guarantee a held-out set needs); and within ANY
+    * subpopulation (a language, a domain) the hash is uniform, so the
+    * split is stratified in expectation with no per-group pass. Distinct
+    * `salt`s give independent splits of the same corpus.
+    *
+    * Granularity note: hash the DEDUP KEY, not an arbitrary row id — on a
+    * corpus with near-duplicates, split AFTER dedup (or hash a canonical
+    * url / cluster id) or twins straddle the train/test boundary.
+    *
+    * Scale shape: a narrow map (codegen'd md5 + substring + CASE), zero
+    * exchanges. Returns the input columns plus `bucket` and `split`. */
+  def holdoutSplit(df: DataFrame, idCol: Column, testFrac: Double = 0.1,
+      valFrac: Double = 0.1, salt: String = "split"): DataFrame = {
+    val (testHex, valHex) = holdoutThresholds(testFrac, valFrac)
+    df.withColumn("bucket",
+        substring(md5(concat_ws(":", lit(salt), idCol.cast("string"))), 1, 4))
+      .withColumn("split",
+        when(col("bucket") < testHex, "test")
+          .when(col("bucket") < valHex, "validation")
+          .otherwise("train"))
+  }
+
+  /** The two 4-hex-char cut points for [[holdoutSplit]]: test below the
+    * first, validation below the second, train otherwise. Capped at ffff
+    * so both thresholds stay fixed-width (a 5-char '10000' would break
+    * the lexicographic-equals-numeric invariant). */
+  private[graft] def holdoutThresholds(
+      testFrac: Double, valFrac: Double): (String, String) = {
+    require(testFrac >= 0 && valFrac >= 0 && testFrac + valFrac < 1,
+      s"fractions must be nonnegative and sum below 1: $testFrac/$valFrac")
+    def hex(f: Double) = f"${math.min(0xffffL, math.round(f * 65536))}%04x"
+    (hex(testFrac), hex(testFrac + valFrac))
+  }
+
+  /** [[holdoutSplit]]'s bucket as a DuckDB SQL fragment — generated so
+    * the two engines share one definition (the d13/d04 pattern). */
+  private[graft] def holdoutBucketSql(idExpr: String, salt: String): String = {
+    require(salt.matches("[A-Za-z0-9_-]+"), s"salt must be SQL-literal-safe: $salt")
+    s"substr(md5('$salt:' || CAST($idExpr AS VARCHAR)), 1, 4)"
+  }
+
+  /** [[holdoutSplit]]'s assignment CASE as a DuckDB SQL fragment, with
+    * the SAME generated thresholds as the Spark plan. */
+  private[graft] def holdoutSplitSql(bucketExpr: String, testFrac: Double,
+      valFrac: Double): String = {
+    val (t, v) = holdoutThresholds(testFrac, valFrac)
+    s"CASE WHEN $bucketExpr < '$t' THEN 'test' " +
+      s"WHEN $bucketExpr < '$v' THEN 'validation' ELSE 'train' END"
+  }
 }

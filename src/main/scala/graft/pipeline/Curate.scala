@@ -19,12 +19,13 @@ case class CurateOptions(
     maxTopBigram: Option[Double] = None,
     minTokens: Option[Int] = None,
     nearDedup: Option[Double] = None,
-    decontaminatePath: Option[String] = None)
+    decontaminatePath: Option[String] = None,
+    holdout: Option[(Double, Double)] = None)
 
 object CurateOptions {
   val Keys: Set[String] = Set("cap", "block", "para-dedup", "min-quality",
     "max-dup-word", "max-top-bigram", "min-tokens", "near-dedup",
-    "decontaminate")
+    "decontaminate", "holdout")
 
   /** Parse `key=value` args; Left(message) on ANY invalid input. */
   def parse(args: Seq[String]): Either[String, CurateOptions] = {
@@ -81,6 +82,20 @@ object CurateOptions {
                 case Some("") => Left("decontaminate must be a non-empty path")
                 case other => Right(other)
               }
+              holdout <- (m.get("holdout") match {
+                case None => Right(None)
+                case Some(v) =>
+                  // "holdout=<testFrac>,<valFrac>" — two fractions whose
+                  // sum stays below 1 (the train share must be non-empty)
+                  val parts = v.split(",", -1).toSeq.map(_.toDoubleOption)
+                  parts match {
+                    case Seq(Some(t), Some(va))
+                        if t >= 0 && va >= 0 && t + va < 1 =>
+                      Right(Some((t, va)))
+                    case _ => Left("holdout must be '<testFrac>,<valFrac>' " +
+                      s"with nonnegative fractions summing below 1: '$v'")
+                  }
+              }): Either[String, Option[(Double, Double)]]
               block <- (m.get("block") match {
                 case None => Right(Nil)
                 case Some(v) =>
@@ -101,7 +116,8 @@ object CurateOptions {
               maxTopBigram = maxTb,
               minTokens = minTok,
               nearDedup = nearD,
-              decontaminatePath = decon)
+              decontaminatePath = decon,
+              holdout = holdout)
         }
     }
   }
@@ -168,7 +184,9 @@ object Curate {
   /** Curated schema: url, warc_ts (crawl time of the winning version),
     * domain, mimeType, textBytes (ORIGINAL length — the quality signal),
     * lang (the d04 language-ID guess — the training-mix grouping key),
-    * PII counts, and the REDACTED text.
+    * PII counts, and the REDACTED text; with `opts.holdout` set, plus the
+    * [[graft.ops.Mix.holdoutSplit]] `bucket`/`split` columns (hashed on
+    * the post-dedup url, so twins cannot straddle the test boundary).
     *
     * NOT a pure plan builder when `opts.nearDedup` is set: that stage runs
     * EAGER Spark jobs at call time (a reliable checkpoint of the deduped
@@ -353,7 +371,7 @@ object Curate {
     // counts via the native PiiScan pass chain; the redacted TEXT via the
     // native PiiRedact twin (two codegen'd calls, no Spark regexp nodes)
     val st = org.apache.spark.sql.graftexpr.GraftExpr.pii_scan(col("text"))
-    capped.select(
+    val curated = capped.select(
       col("url"), col("warc_ts"), col("domain"), col("mimeType"), col("textBytes"),
       TextStats.langGuess(col("text")).as("lang"),
       element_at(st, 1).cast("int").as("n_emails"),
@@ -362,6 +380,16 @@ object Curate {
       element_at(st, 4).cast("int").as("n_ipv6"),
       element_at(st, 5).cast("int").as("n_card"),
       TextStats.redactPii(col("text")).as("text"))
+    // optional holdout assignment (d18): a narrow map over the url — the
+    // post-dedup unique key, so near-identical twins were already
+    // collapsed and cannot straddle the train/test boundary. Hash-bucket
+    // membership is stable across curate re-runs and corpus growth, which
+    // is what makes the held-out set durable as the crawl accretes.
+    opts.holdout match {
+      case None => curated
+      case Some((t, v)) =>
+        graft.ops.Mix.holdoutSplit(curated, col("url"), testFrac = t, valFrac = v)
+    }
   }
 
   /** Read the committed snapshot under `outputRoot`, curate, and COMMIT

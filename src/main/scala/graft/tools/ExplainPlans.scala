@@ -37,6 +37,11 @@ object ExplainPlans {
     p("d10_decontaminate", graft.ops.Dedup.decontaminate(
       docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0)))
     p("d11_repetition", graft.ops.TextStats.repetition(docs))
+    // d18: must be a single zero-exchange projection over the id column
+    p("d18_holdout", graft.SparkEntry.queries("d18_holdout_split")(s, d))
+    // d19: window strings must NOT reach an exchange — only the 24-byte
+    // hash-key rows shuffle; the hot-set probe side broadcasts under AQE
+    p("d19_dup_windows", graft.SparkEntry.queries("d19_dup_windows")(s, d))
     s.stop()
   }
 }

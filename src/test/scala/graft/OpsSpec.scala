@@ -728,4 +728,70 @@ class OpsSpec extends AnyFunSuite {
       assert(fp.length <= 8 && fp == fp.sorted)
     }
   }
+
+  test("mix: holdout split matches a scalar md5 reference; partition-invariant") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (1L to 4000L).toDF("id")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Mix.holdoutSplit(d, col("id"), testFrac = 0.1, valFrac = 0.1)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+    val a = rows(df)
+    assert(a == rows(df.repartition(13)), "split must be partition-invariant")
+    // independent scalar reference: java MessageDigest md5 over the same
+    // salted string, same 4-hex-char prefix, same lexicographic cuts
+    val md = java.security.MessageDigest.getInstance("MD5")
+    a.foreach { case (id, bucket, split) =>
+      val hex = md.digest(s"split:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 4)
+      assert(bucket == hex, s"id=$id")
+      val want = if (hex < "199a") "test"
+        else if (hex < "3333") "validation" else "train"
+      assert(split == want, s"id=$id bucket=$hex")
+    }
+    // fractions land near 10/10/80 (binomial tolerance at n=4000), and
+    // every row is assigned exactly one split
+    val by = a.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(by.values.sum == 4000)
+    assert(by("test") > 300 && by("test") < 520, by.toString)
+    assert(by("validation") > 300 && by("validation") < 520, by.toString)
+    // distinct salts give independent assignments (not the same rows)
+    val other = graft.ops.Mix.holdoutSplit(df, col("id"), 0.1, 0.1, salt = "s2")
+      .where(col("split") === "test").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val first = a.filter(_._3 == "test").map(_._1).toSet
+    assert(other != first, "a new salt must re-deal the split")
+  }
+
+  test("dedup: dup-window stats — exact counts on a hand corpus, short docs null") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // k=5: doc 1 and doc 2 share the runs "a b c d e" and "b c d e f";
+    // doc 3 is shorter than one window
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "z z a b c d e f y"),
+      (3L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.dupWindowStats(df, k = 5, maxDocs = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 4L, 2L, Some(0.5)),
+      (2L, 5L, 2L, Some(0.4)),
+      (3L, 0L, 0L, None)), out.toString)
+  }
+
+  test("dedup: dup-window stats flag the planted near-dup docs on the corpus") {
+    val out = Dedup.dupWindowStats(docs, k = 10, maxDocs = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // the sf corpus plants near-identical doc pairs (the d05 LSH targets):
+    // those docs must show duplicated windows; most docs show none
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.8).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty && pairs.forall(id => out(id) > 0),
+      "every near-dup member must carry duplicated windows")
+    assert(out.count(_._2 == 0) > out.size / 2,
+      "unrelated docs must not be flagged")
+  }
 }

@@ -301,11 +301,12 @@ class PipelineSpec extends AnyFunSuite {
     val ok = CurateOptions.parse(Seq("cap=50", "block=a.test,b.test",
       "para-dedup=3", "min-quality=0.25", "max-dup-word=0.5",
       "max-top-bigram=0.18", "min-tokens=40", "near-dedup=0.85",
-      "decontaminate=/tmp/bench")).toOption.get
+      "decontaminate=/tmp/bench", "holdout=0.1,0.05")).toOption.get
     assert(ok == CurateOptions(cap = 50, block = Seq("a.test", "b.test"),
       paraMaxDocs = 3, minQuality = Some(0.25), maxDupWord = Some(0.5),
       maxTopBigram = Some(0.18), minTokens = Some(40),
-      nearDedup = Some(0.85), decontaminatePath = Some("/tmp/bench")))
+      nearDedup = Some(0.85), decontaminatePath = Some("/tmp/bench"),
+      holdout = Some((0.1, 0.05))))
     assert(CurateOptions.parse(Nil) == Right(CurateOptions()))
     assert(CurateOptions.parse(Seq("min-tokens=0")).isLeft)         // min 1
     assert(CurateOptions.parse(Seq("near-dedup=0")).isLeft)         // (0,1]
@@ -317,6 +318,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(CurateOptions.parse(Seq("bare")).isLeft)                 // no '='
     // empty path (unset shell var) must fail, not silently disable
     assert(CurateOptions.parse(Seq("decontaminate=")).isLeft)
+    // holdout: exactly two nonnegative fractions, train share non-empty
+    assert(CurateOptions.parse(Seq("holdout=")).isLeft)
+    assert(CurateOptions.parse(Seq("holdout=0.1")).isLeft)
+    assert(CurateOptions.parse(Seq("holdout=0.6,0.5")).isLeft)      // sum >= 1
+    assert(CurateOptions.parse(Seq("holdout=0.1,x")).isLeft)        // NaN
+  }
+
+  test("curate: holdout option stamps a deterministic split on the url") {
+    val spark = TestSpark.spark
+    import graft.pipeline.{Curate, CurateOptions}
+    val pages = CorpusWriter.pagesDs(spark, 200L, partitions = 4)
+    val data = ExtractPipeline.run(pages, ExtractPipeline.Config(partitions = 8)).toDF()
+    val cur = Curate.curate(data,
+      CurateOptions(cap = 1000, holdout = Some((0.25, 0.25))))
+    val rows = cur.select("url", "bucket", "split").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    // assignment must equal Mix.holdoutSplit on the same urls (same salt,
+    // same fractions) — the curate wiring adds no drift
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { case (url, bucket, split) =>
+      val hex = md.digest(s"split:$url".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 4)
+      assert(bucket == hex, url)
+      val want = if (hex < "4000") "test"
+        else if (hex < "8000") "validation" else "train"
+      assert(split == want, s"$url $hex")
+    }
+    // without the option the curated schema is unchanged
+    val plain = Curate.curate(data, CurateOptions(cap = 1000))
+    assert(!plain.columns.contains("split") && !plain.columns.contains("bucket"))
   }
 
   test("driver contract: entry() returns rows; every query has a function") {
