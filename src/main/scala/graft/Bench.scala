@@ -38,6 +38,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.maxPlanStringLength", "131072")
       .config("spark.io.compression.codec", "zstd")
       // one task per bucket file: stop the small-file coalescer from merging
       // buckets (kills parallelism) — and small buckets amortize stragglers

@@ -29,6 +29,9 @@ object Main {
       // long-lived stream-curate would otherwise accumulate one checkpoint
       // dataset per micro-batch until JVM exit
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // bound per-event plan rendering (iterative cache-on-cache plans
+      // otherwise render exponentially long tree strings on the driver)
+      .config("spark.sql.maxPlanStringLength", "131072")
     // under spark-submit the submitted master wins; standalone runs (sandbox,
     // sbt runMain) fall back to all local cores
     if (!sys.props.contains("spark.master") && !sys.env.contains("MASTER")) {

@@ -266,6 +266,11 @@ object Dedup {
     * guard supporting diameter ~2^maxRounds, and hitting it raises rather
     * than silently returning partial clusters).
     *
+    * Lineage is truncated with a reliable checkpoint every couple of
+    * rounds: an iterated cache-on-cache plan nests one AQE subplan per
+    * round and is re-rendered as a TREE by every posted SQL event, so an
+    * unbounded loop kills the DRIVER with exponential plan rendering
+    * (not a data cost — a plan cost; see the in-loop comment).
     * The fixpoint is materialized via a RELIABLE checkpoint before the loop
     * caches are released: returning the cached plan itself would leak one
     * MEMORY_AND_DISK cache per invocation, and an unpersisted lazy plan
@@ -276,6 +281,10 @@ object Dedup {
     * Returns (doc_id, cluster_id). */
   def clusters(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
       maxRounds: Int = 10): DataFrame = {
+    // lineage-truncation cadence for the propagation loop (see the
+    // in-loop comment): nesting depth between checkpoints stays <= this,
+    // so per-event plan rendering is O(3^interval) small sub-plans
+    val CheckpointInterval = 2
     val sc = docs.sparkSession.sparkContext
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
@@ -294,6 +303,7 @@ object Dedup {
         var labels = touched.select(col("id"), col("id").as("cluster"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          ensureCheckpointDir(sc)
           var converged = false
           var i = 0
           while (!converged && i < maxRounds) {
@@ -331,9 +341,26 @@ object Dedup {
             labels = next
             converged = changed == 0
             i += 1
+            // truncate lineage every CheckpointInterval rounds: round r's
+            // plan nests round r-1's cached AQE plan inside an
+            // InMemoryRelation, and each round references `labels` three
+            // times (neighbor join, left join, jump lookup) — so the
+            // plan-description string posted with every SQL event expands
+            // the cache-on-cache DAG as a TREE, ~3^r sub-plan renders per
+            // action. Left unbounded, the DRIVER dies of plan rendering
+            // (minutes of TreeNode.generateTreeString + a GC storm from
+            // the giant strings) long before the data is large. A reliable
+            // checkpoint cuts the plan to a file-backed leaf, bounding the
+            // nesting depth at the interval — the standard iterative-
+            // algorithm contract (GraphX/GraphFrames checkpoint the same
+            // way); re-persisting keeps later probes memory-speed.
+            if (!converged && i % CheckpointInterval == 0) {
+              val cp = labels.checkpoint()
+              labels.unpersist()
+              labels = cp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            }
           }
           require(converged, s"label propagation did not converge in $maxRounds rounds")
-          ensureCheckpointDir(sc)
           // eager file-backed materialization computed from the still-cached
           // labels + the untouched singletons; after it, no persisted RDD
           // from this call remains

@@ -10,6 +10,9 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bound per-event plan rendering: iterative cache-on-cache plans
+      // (Dedup.clusters) otherwise render exponentially long tree strings
+      .config("spark.sql.maxPlanStringLength", "131072")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
