@@ -388,6 +388,12 @@ object SparkEntry {
       // the window STRINGS — so the check also certifies the hash path
       // against a collision-free formulation.
       Dedup.dupWindowStats(t(s, d, "documents"), k = 20, maxDocs = 1)),
+    "d20_dup_excise" -> ((s, d) =>
+      // the removal half of exact-substring dedup: cut every cross-doc
+      // repeated 20-token span and keep each doc's unique remainder. The
+      // oracle re-derives the whole excision over window STRINGS and
+      // re-serializes the kept tokens — every output text value-compared.
+      Dedup.exciseDupWindows(t(s, d, "documents"), k = 20, maxDocs = 1)),
     "d13_domains" -> ((s, d) => {
       // URL/domain curation over the crawl METADATA (no payload reads):
       // per registered domain — doc count, distinct urls, survivors of a
@@ -878,6 +884,41 @@ object SparkEntry {
         | CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
         | round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / nullif(b.nw, 0), 4) AS dup_frac
         |FROM base b LEFT JOIN dup d USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+    // span excision: DuckDB re-runs the ENTIRE algorithm over window
+    // strings — dup window positions, the distinct covered-token set, and
+    // the kept-token re-serialization — so every excised text is
+    // value-compared character for character against an independent
+    // string-keyed derivation
+    "d20_dup_excise" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), ' +') AS tk FROM documents),
+        |base AS (
+        | SELECT doc_id, tk, len(tk) AS n, greatest(len(tk) - 19, 0) AS nw FROM toks),
+        |win AS (
+        | SELECT doc_id, i, array_to_string(tk[i:i+19], ' ') AS w
+        | FROM (SELECT doc_id, tk, unnest(generate_series(1, nw)) AS i
+        |       FROM base WHERE nw >= 1)),
+        |hot AS (
+        | SELECT w FROM win GROUP BY w HAVING count(distinct doc_id) > 1),
+        |dup AS (
+        | SELECT doc_id, i FROM win WHERE w IN (SELECT w FROM hot)),
+        |cov AS (
+        | SELECT DISTINCT doc_id, j FROM (
+        |   SELECT doc_id, unnest(generate_series(i, i + 19)) AS j FROM dup)),
+        |tokpos AS (
+        | SELECT doc_id, j, tk[j] AS tok FROM (
+        |   SELECT doc_id, tk, unnest(generate_series(1, n)) AS j FROM base)),
+        |kept AS (
+        | SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.j) AS text
+        | FROM tokpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.j = c.j
+        | WHERE c.j IS NULL GROUP BY t.doc_id),
+        |nrem AS (SELECT doc_id, count(*) AS r FROM cov GROUP BY doc_id)
+        |SELECT b.doc_id,
+        | CAST(b.n AS BIGINT) AS n_tokens,
+        | CAST(coalesce(nr.r, 0) AS BIGINT) AS n_removed,
+        | coalesce(k2.text, '') AS text
+        |FROM base b LEFT JOIN nrem nr USING (doc_id) LEFT JOIN kept k2 USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     // url canonicalization: DuckDB re-derives the same six variants per
     // corpus url and re-runs the same rule chain (strip fragment,
     // lowercase scheme://host, drop default ports, strip trailing

@@ -468,10 +468,7 @@ object Dedup {
       .select(col("id"), explode(transform(sequence(lit(1), col("nw")),
         i => concat_ws(" ", slice(col("tk"), i, lit(k))))).as("w"))
       .select(col("id") +: exactKeyCols(col("w")): _*)
-    val hot = win.groupBy(col("_h1"), col("_h2"), col("_len"))
-      .agg(countDistinct(col("id")).as("nd"))
-      .where(col("nd") > maxDocs)
-      .select("_h1", "_h2", "_len")
+    val hot = hotWindowKeys(win, maxDocs)
     val dup = win.join(hot, Seq("_h1", "_h2", "_len"), "left_semi")
       .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
     base.select(col("id"), col("nw"))
@@ -481,6 +478,66 @@ object Dedup {
         coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
         round(coalesce(col("n_dup"), lit(0L)).cast("double") /
           nullif(col("nw").cast("long"), lit(0L)), 4).as("dup_frac"))
+  }
+
+  /** Window hash keys seen in more than `maxDocs` distinct docs — the
+    * shared hot-set core of [[dupWindowStats]] and [[exciseDupWindows]];
+    * partial-aggregates map-side, stays broadcast-sized at real dup rates. */
+  private def hotWindowKeys(win: DataFrame, maxDocs: Int): DataFrame =
+    win.groupBy(col("_h1"), col("_h2"), col("_len"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .where(col("nd") > maxDocs)
+      .select("_h1", "_h2", "_len")
+
+  /** Duplicated-span EXCISION — the removal half of exact-substring dedup
+    * ([[dupWindowStats]] is the detection half; Lee et al. ACL 2022 cut
+    * the shared spans rather than dropping whole documents, preserving
+    * each doc's unique remainder). Every k-token window repeated in more
+    * than `maxDocs` distinct docs marks its k token positions; the union
+    * of marked positions is removed and the survivors are re-serialized
+    * with single spaces — the operator is defined over the TOKEN STREAM,
+    * like the reference algorithm, so original inter-token whitespace is
+    * not preserved (unchanged docs come back as their token join too).
+    *
+    * Scale shape: identical to [[dupWindowStats]] up to the hot set — the
+    * k-fold window explosion stays transient inside a projection, ~32-byte
+    * (id, pos, hash-key) rows shuffle, the hot probe broadcasts under AQE.
+    * The excision itself is one doc-key shuffle of (id, sorted dup
+    * positions) joined back to the token arrays, then a narrow map:
+    * covered positions expand from the doc's OWN duplicated windows
+    * (bounded by its token count) and the keep-filter is membership per
+    * token — O(tokens x covered) worst case within a single doc, linear
+    * where dup spans are the expected small fraction. Same PRECONDITION:
+    * [[exact]]-dedup first, or mirrored whole docs excise each other to
+    * empty text. Returns (id, n_tokens, n_removed, text). */
+  def exciseDupWindows(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 20, maxDocs: Int = 1): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens: $k")
+    require(maxDocs >= 1, s"maxDocs must be >= 1: $maxDocs")
+    val base = docs
+      .select(col(idCol).as("id"), TextStats.tokens(col(textCol)).as("tk"))
+      .withColumn("nw", greatest(size(col("tk")) - (k - 1), lit(0)))
+    // window POSITION rides along this time (excision needs it); the
+    // string itself is still reduced to the 128-bit key pre-shuffle
+    val win = base.where(col("nw") >= 1)
+      .select(col("id"), explode(transform(sequence(lit(1), col("nw")),
+        i => struct(i.as("pos"), concat_ws(" ", slice(col("tk"), i, lit(k))).as("w")))).as("pw"))
+      .select(Seq(col("id"), col("pw.pos").as("pos")) ++ exactKeyCols(col("pw.w")): _*)
+    val hot = hotWindowKeys(win, maxDocs)
+    val dupPos = win.join(hot, Seq("_h1", "_h2", "_len"), "left_semi")
+      .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("ps"))
+    // dup window at pos p covers tokens [p, p+k-1]; p <= n-k+1 so the
+    // cover never runs past the token array — no clamping needed
+    base.join(dupPos, Seq("id"), "left")
+      .withColumn("cov", array_distinct(flatten(transform(col("ps"),
+        p => sequence(p, p + lit(k - 1))))))
+      .select(col("id").as(idCol),
+        size(col("tk")).cast("long").as("n_tokens"),
+        when(col("ps").isNull, lit(0L))
+          .otherwise(size(col("cov")).cast("long")).as("n_removed"),
+        when(col("ps").isNull, concat_ws(" ", col("tk")))
+          .otherwise(concat_ws(" ", filter(col("tk"),
+            (t, i) => !array_contains(col("cov"), i + 1)))).as("text"))
   }
 
   /** SimHash (Charikar 2002): 64-bit signature where bit j is the sign of

@@ -42,6 +42,9 @@ object ExplainPlans {
     // d19: window strings must NOT reach an exchange — only the 24-byte
     // hash-key rows shuffle; the hot-set probe side broadcasts under AQE
     p("d19_dup_windows", graft.SparkEntry.queries("d19_dup_windows")(s, d))
+    // d20: same window/hot shape as d19 plus ONE doc-key shuffle of
+    // (id, dup positions); the token arrays join it on the uniform id key
+    p("d20_dup_excise", graft.SparkEntry.queries("d20_dup_excise")(s, d))
     s.stop()
   }
 }

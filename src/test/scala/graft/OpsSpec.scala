@@ -782,6 +782,42 @@ class OpsSpec extends AnyFunSuite {
       (3L, 0L, 0L, None)), out.toString)
   }
 
+  test("dedup: dup-window excision cuts exactly the covered spans on a hand corpus") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // k=5: docs 1,2 share windows "a b c d e" (doc1 pos1/doc2 pos3) and
+    // "b c d e f" (doc1 pos2/doc2 pos4) -> doc1 covers tokens 1..6,
+    // doc2 covers 3..8; doc 3 is shorter than one window
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "z z a b c d e f y"),
+      (3L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.exciseDupWindows(df, k = 5, maxDocs = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 8L, 6L, "g h"),
+      (2L, 9L, 6L, "z z y"),
+      (3L, 2L, 0L, "x y")), out.toString)
+  }
+
+  test("dedup: excision agrees with dup-window stats on the corpus") {
+    val stats = Dedup.dupWindowStats(docs, k = 10, maxDocs = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ex = Dedup.exciseDupWindows(docs, k = 10, maxDocs = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    ex.foreach { case (id, n, removed, text) =>
+      // a doc loses tokens iff it carries duplicated windows, never all
+      // its tokens unless fully duplicated, and the kept token count
+      // matches the re-serialized text
+      assert((removed > 0) == (stats(id) > 0), s"doc $id")
+      assert(removed <= n, s"doc $id")
+      val keptToks = if (text.isEmpty) 0L else text.split(" +").length.toLong
+      assert(keptToks == n - removed, s"doc $id: $keptToks != $n - $removed")
+    }
+    assert(ex.exists(_._3 > 0) && ex.count(_._3 == 0) > ex.length / 2)
+  }
+
   test("dedup: dup-window stats flag the planted near-dup docs on the corpus") {
     val out = Dedup.dupWindowStats(docs, k = 10, maxDocs = 1).collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
