@@ -192,6 +192,7 @@ object Main {
         |       graft.Main curate <outputRoot> <curatedDir> [cap=N] [block=dom1,dom2] [para-dedup=N]
         |         [min-quality=F] [max-dup-word=F] [max-top-bigram=F] [min-tokens=N]
         |         [near-dedup=J] [decontaminate=<benchParquet>] [holdout=testF,valF]
+        |         [excise=K]
         |       graft.Main sweep <outputRoot>
         |       graft.Main compact <outputRoot>""".stripMargin)
 }

@@ -102,6 +102,10 @@ object Mix {
     * exchanges. Returns the input columns plus `bucket` and `split`. */
   def holdoutSplit(df: DataFrame, idCol: Column, testFrac: Double = 0.1,
       valFrac: Double = 0.1, salt: String = "split"): DataFrame = {
+    // withColumn would silently REPLACE same-named input columns — an
+    // already-split frame must fail loudly, not get quietly re-dealt
+    require(!df.columns.contains("bucket") && !df.columns.contains("split"),
+      "holdoutSplit adds 'bucket'/'split' columns but the input already has one")
     val (testHex, valHex) = holdoutThresholds(testFrac, valFrac)
     df.withColumn("bucket",
         substring(md5(concat_ws(":", lit(salt), idCol.cast("string"))), 1, 4))

@@ -20,12 +20,13 @@ case class CurateOptions(
     minTokens: Option[Int] = None,
     nearDedup: Option[Double] = None,
     decontaminatePath: Option[String] = None,
-    holdout: Option[(Double, Double)] = None)
+    holdout: Option[(Double, Double)] = None,
+    exciseWindow: Int = 0)
 
 object CurateOptions {
   val Keys: Set[String] = Set("cap", "block", "para-dedup", "min-quality",
     "max-dup-word", "max-top-bigram", "min-tokens", "near-dedup",
-    "decontaminate", "holdout")
+    "decontaminate", "holdout", "excise")
 
   /** Parse `key=value` args; Left(message) on ANY invalid input. */
   def parse(args: Seq[String]): Either[String, CurateOptions] = {
@@ -61,6 +62,13 @@ object CurateOptions {
             for {
               cap <- intOpt("cap", 1000, min = 1)
               para <- intOpt("para-dedup", 0, min = 0) // 0 = stage disabled
+              // excise=K: exact-substring span excision at window size K;
+              // 0 = stage disabled, and a window must span >= 2 tokens
+              // (K=1 would excise every individually-repeated word)
+              excise <- intOpt("excise", 0, min = 0).flatMap {
+                case 1 => Left("excise window must be 0 (disabled) or >= 2 tokens")
+                case k => Right(k)
+              }
               minQ <- fracOpt("min-quality")
               maxDw <- fracOpt("max-dup-word")
               maxTb <- fracOpt("max-top-bigram")
@@ -117,7 +125,8 @@ object CurateOptions {
               minTokens = minTok,
               nearDedup = nearD,
               decontaminatePath = decon,
-              holdout = holdout)
+              holdout = holdout,
+              exciseWindow = excise)
         }
     }
   }
@@ -230,6 +239,10 @@ object Curate {
     * passage dedup first would mark EVERY paragraph of a mirrored article
     * hot and annihilate all copies to empty text (and bloat the hot set)
     * instead of letting one representative survive.
+    * `opts.exciseWindow >= 2` enables exact-substring span excision
+    * (d20) after passage dedup, under the same precondition for the same
+    * reason — and after the paragraph stage so K-token windows only chase
+    * the sub-paragraph repetition the paragraph granularity missed.
     *
     * `benchGrams` (with `opts.decontaminatePath` driving it in [[run]]):
     * a [[Dedup.benchGramHashes]] frame of the evaluation set's distinct
@@ -315,10 +328,35 @@ object Curate {
     val stripped =
       if (strippedKept.isEmpty) fuzzy
       else tap(stripStage(fuzzy), "para-deduped")
+    // exact-substring span excision over the representatives (d20, Lee et
+    // al. ACL 2022): cut every K-token window still repeated across docs
+    // after the exact/fuzzy/passage stages — the sub-paragraph boilerplate
+    // those coarser granularities miss. Same removal semantic as the
+    // passage stage (a repeated span is cut from EVERY doc carrying it),
+    // and the same empty-survivor rule: a doc excised to nothing is pure
+    // duplicated text and is DROPPED. Docs with no excised span keep their
+    // ORIGINAL text byte-for-byte — only excised docs carry the
+    // token-stream re-serialization exciseDupWindows is defined over.
+    val excisedKept: Option[DataFrame] =
+      if (opts.exciseWindow <= 0) None
+      else Some(
+        Dedup.exciseDupWindows(strippedRaw.select(col("url"), col("text")),
+            idCol = "url", textCol = "text", k = opts.exciseWindow)
+          .where(col("n_removed") < col("n_tokens"))
+          .select(col("url"),
+            when(col("n_removed") > 0, col("text")).as("_etext")))
+    def exciseStage(in: DataFrame): DataFrame =
+      excisedKept.map(e => in.join(e, Seq("url"))
+        .withColumn("text", coalesce(col("_etext"), col("text")))
+        .drop("_etext")).getOrElse(in)
+    val excisedRaw = exciseStage(strippedRaw)
+    val excised =
+      if (excisedKept.isEmpty) stripped
+      else tap(exciseStage(stripped), "excised")
     def blockStage(in: DataFrame): DataFrame =
       in.where(!col("domain").isin(opts.block: _*))
-    val unblockedRaw = blockStage(strippedRaw)
-    val unblocked = tap(blockStage(stripped), "unblocked")
+    val unblockedRaw = blockStage(excisedRaw)
+    val unblocked = tap(blockStage(excised), "unblocked")
     // narrow structural/quality drops (zero shuffle) BEFORE the wide ops —
     // a row the thresholds reject must never cost join or window work
     val structural: Seq[Column] =

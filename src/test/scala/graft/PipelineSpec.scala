@@ -301,12 +301,12 @@ class PipelineSpec extends AnyFunSuite {
     val ok = CurateOptions.parse(Seq("cap=50", "block=a.test,b.test",
       "para-dedup=3", "min-quality=0.25", "max-dup-word=0.5",
       "max-top-bigram=0.18", "min-tokens=40", "near-dedup=0.85",
-      "decontaminate=/tmp/bench", "holdout=0.1,0.05")).toOption.get
+      "decontaminate=/tmp/bench", "holdout=0.1,0.05", "excise=6")).toOption.get
     assert(ok == CurateOptions(cap = 50, block = Seq("a.test", "b.test"),
       paraMaxDocs = 3, minQuality = Some(0.25), maxDupWord = Some(0.5),
       maxTopBigram = Some(0.18), minTokens = Some(40),
       nearDedup = Some(0.85), decontaminatePath = Some("/tmp/bench"),
-      holdout = Some((0.1, 0.05))))
+      holdout = Some((0.1, 0.05)), exciseWindow = 6))
     assert(CurateOptions.parse(Nil) == Right(CurateOptions()))
     assert(CurateOptions.parse(Seq("min-tokens=0")).isLeft)         // min 1
     assert(CurateOptions.parse(Seq("near-dedup=0")).isLeft)         // (0,1]
@@ -323,6 +323,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(CurateOptions.parse(Seq("holdout=0.1")).isLeft)
     assert(CurateOptions.parse(Seq("holdout=0.6,0.5")).isLeft)      // sum >= 1
     assert(CurateOptions.parse(Seq("holdout=0.1,x")).isLeft)        // NaN
+    // excise: a window must span >= 2 tokens; 0 = disabled
+    assert(CurateOptions.parse(Seq("excise=1")).isLeft)
+    assert(CurateOptions.parse(Seq("excise=0")).toOption.get.exciseWindow == 0)
+  }
+
+  test("curate: excise cuts cross-doc repeated spans; untouched docs byte-identical") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.pipeline.{Curate, CurateOptions, StageMetrics}
+    def ts(s: Long) = new java.sql.Timestamp(1735689600000L + s * 1000L)
+    // k=5 over an 8-token shared run: every 5-window inside the run is
+    // hot (it appears in a, b and d); boundary windows are doc-unique
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val cText = "unique content with  doubled  spaces staying byte identical"
+    val crafted = Seq(
+      ("https://e.t.test/a", ts(1), "finished", "text/plain", 10L, s"a1 a2 $shared a3"),
+      ("https://e.t.test/b", ts(2), "finished", "text/plain", 10L, s"b1 $shared b2 b3"),
+      ("https://e.t.test/c", ts(3), "finished", "text/plain", 10L, cText),
+      ("https://e.t.test/d", ts(4), "finished", "text/plain", 10L, shared))
+      .toDF("url", "warc_ts", "status", "mimeType", "textBytes", "text")
+    val metrics = new StageMetrics
+    val out = Curate.curate(crafted,
+        CurateOptions(cap = 10, exciseWindow = 5), metrics = Some(metrics))
+      .collect().map(r => r.getString(0) -> r.getAs[String]("text")).toMap
+    // d was NOTHING BUT the shared run -> excised to empty -> dropped
+    assert(out.keySet == Set("https://e.t.test/a", "https://e.t.test/b",
+      "https://e.t.test/c"), out.keySet.toString)
+    assert(out("https://e.t.test/a") == "a1 a2 a3")
+    assert(out("https://e.t.test/b") == "b1 b2 b3")
+    // a doc with no excised span keeps its ORIGINAL text byte-for-byte —
+    // no token-stream re-serialization (the doubled spaces survive)
+    assert(out("https://e.t.test/c") == cText)
+    val stageCounts = metrics.counts.toMap
+    assert(stageCounts("excised") == 3, stageCounts.toString)
   }
 
   test("curate: holdout option stamps a deterministic split on the url") {
