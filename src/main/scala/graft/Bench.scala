@@ -154,7 +154,7 @@ object Bench {
           "d10_decontaminate", "d11_repetition", "d12_pii", "d13_domains",
           "d14_para_dedup", "d15_url_canon", "d16_token_budget",
           "d17_corpus_lang", "d18_holdout_split", "d19_dup_windows",
-          "d20_dup_excise",
+          "d20_dup_excise", "d21_hash_sample",
           "e01_cosine_topk", "e02_ann_lsh", "e04_ann_ivf",
           "x01_extract_status_counts")
         val qt = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -65,6 +65,11 @@ object SparkEntry {
   private val VerifyPagesGlob =
     s"/tmp/graft-pages/${graft.corpus.PagesGen.CorpusVersion}-rows-1000/*.parquet"
 
+  /** d21's per-language sampling fractions — the ONE table both the Spark
+    * plan and the generated oracle CASE compile from (the d13/d04
+    * drift-proofing pattern). */
+  private val D21Fractions = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 1.0)
+
   /** Export property set ONLY by graft.Verify: Bench runs the same queries
     * as pure operators — without the gate it would time oracle-export I/O
     * and write the shared export path outside the Verify run (ADVICE r3). */
@@ -394,6 +399,16 @@ object SparkEntry {
       // oracle re-derives the whole excision over window STRINGS and
       // re-serializes the kept tokens — every output text value-compared.
       Dedup.exciseDupWindows(t(s, d, "documents"), k = 20, maxDocs = 1)),
+    "d21_hash_sample" -> ((s, d) =>
+      // deterministic mix reweighting: keep 50% of en, 25% of de, all of
+      // zh, 10% of everything else — membership a pure hash of the doc id
+      // (run/partitioning/growth stable). Exercises all three predicate
+      // paths: threshold compare, keep-all (frac >= 1), and the default.
+      // The oracle CASE is GENERATED from the same fraction table.
+      graft.ops.Mix.hashSample(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        col("doc_id"), col("lang"),
+        D21Fractions, default = 0.1)),
     "d13_domains" -> ((s, d) => {
       // URL/domain curation over the crawl METADATA (no payload reads):
       // per registered domain — doc count, distinct urls, survivors of a
@@ -919,6 +934,15 @@ object SparkEntry {
         | coalesce(k2.text, '') AS text
         |FROM base b LEFT JOIN nrem nr USING (doc_id) LEFT JOIN kept k2 USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+    // hash sampling: the keep CASE (thresholds, keep-all branch, default)
+    // is generated from the same D21Fractions table the Spark plan
+    // compiles; both engines compare the same md5-prefix bucket
+    "d21_hash_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${graft.ops.Mix.hashSampleSql(
+             graft.ops.Mix.holdoutBucketSql("doc_id", "sample"),
+             "lang", D21Fractions, default = 0.1)}
+         |ORDER BY doc_id""".stripMargin,
     // url canonicalization: DuckDB re-derives the same six variants per
     // corpus url and re-runs the same rule chain (strip fragment,
     // lowercase scheme://host, drop default ports, strip trailing

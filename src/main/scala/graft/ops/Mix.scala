@@ -142,4 +142,59 @@ object Mix {
     s"CASE WHEN $bucketExpr < '$t' THEN 'test' " +
       s"WHEN $bucketExpr < '$v' THEN 'validation' ELSE 'train' END"
   }
+
+  /** Deterministic per-group downsampling — the mix-REWEIGHTING step of a
+    * training pipeline (keep 50% of English, 10% of the boilerplate-heavy
+    * tail, ...): a row survives iff its hash bucket (same md5-prefix
+    * scheme as [[holdoutSplit]], DIFFERENT salt) falls below its group's
+    * sampling fraction. The hash-bucket properties are what distinguish
+    * this from `sample()`/`sampleBy()`: membership is a pure function of
+    * (salt, id) — identical across runs, machines and partitionings, and
+    * a re-run over a GROWN corpus keeps every previously-kept row (new
+    * rows only fill in), so downstream artifacts stay reproducible.
+    * Composes with [[holdoutSplit]] through salt independence: the
+    * sampling decision is uncorrelated with the split assignment, so
+    * sampling preserves the split proportions in expectation. Groups
+    * absent from `fractions` keep `default`; a fraction >= 1 keeps the
+    * whole group (no threshold-string compare — "10000" would break the
+    * fixed-width lexicographic invariant).
+    *
+    * Scale shape: zero exchanges — one codegen'd md5 + substring + CASE
+    * per row, exactly as expensive as reading (id, group) once. */
+  def hashSample(df: DataFrame, idCol: Column, groupCol: Column,
+      fractions: Map[String, Double], default: Double = 1.0,
+      salt: String = "sample"): DataFrame = {
+    require(fractions.nonEmpty, "fractions must name at least one group")
+    (fractions.values ++ Seq(default)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"sampling fraction out of [0,1]: $f"))
+    val bucket = substring(md5(concat_ws(":", lit(salt), idCol.cast("string"))), 1, 4)
+    def keepAt(f: Double): Column =
+      if (f >= 1.0) lit(true) else bucket < lit(sampleThresholdHex(f))
+    val keep = fractions.toSeq.sortBy(_._1)
+      .foldRight(keepAt(default)) { case ((g, f), els) =>
+        when(groupCol === g, keepAt(f)).otherwise(els)
+      }
+    df.where(keep)
+  }
+
+  /** 4-hex-char keep threshold for a fraction < 1 (>= 1 is handled as a
+    * keep-all condition, never a threshold string). */
+  private[graft] def sampleThresholdHex(f: Double): String = {
+    require(f >= 0.0 && f < 1.0, s"threshold needs a fraction in [0,1): $f")
+    f"${math.min(0xffffL, math.round(f * 65536))}%04x"
+  }
+
+  /** [[hashSample]]'s keep predicate as a DuckDB SQL fragment generated
+    * from the SAME fractions and threshold arithmetic as the Spark plan
+    * (the d13/d04 pattern); `groupExpr` values are compared as strings. */
+  private[graft] def hashSampleSql(bucketExpr: String, groupExpr: String,
+      fractions: Map[String, Double], default: Double = 1.0): String = {
+    def keepAt(f: Double): String =
+      if (f >= 1.0) "TRUE" else s"$bucketExpr < '${sampleThresholdHex(f)}'"
+    val whens = fractions.toSeq.sortBy(_._1).map { case (g, f) =>
+      require(g.matches("[A-Za-z0-9_-]+"), s"group must be SQL-literal-safe: $g")
+      s"WHEN $groupExpr = '$g' THEN ${keepAt(f)}"
+    }.mkString(" ")
+    s"CASE $whens ELSE ${keepAt(default)} END"
+  }
 }

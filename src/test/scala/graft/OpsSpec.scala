@@ -782,6 +782,43 @@ class OpsSpec extends AnyFunSuite {
       (3L, 0L, 0L, None)), out.toString)
   }
 
+  test("mix: hash sampling matches a scalar md5 reference per group; keep-all kept") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = (1L to 3000L).map(i => (i, Seq("en", "de", "zh")(i.toInt % 3)))
+      .toDF("id", "g")
+    val fr = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 1.0)
+    def kept(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Mix.hashSample(d, col("id"), col("g"), fr, default = 0.1)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val a = kept(df)
+    assert(a == kept(df.repartition(11)), "sampling must be partition-invariant")
+    // independent scalar reference over EVERY input row
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val aSet = a.map(_._1).toSet
+    (1L to 3000L).foreach { id =>
+      val g = Seq("en", "de", "zh")(id.toInt % 3)
+      val hex = md.digest(s"sample:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 4)
+      val want = g match {
+        case "en" => hex < "8000"
+        case "de" => hex < "4000"
+        case _ => true // zh: keep-all branch, no threshold compare
+      }
+      assert(aSet.contains(id) == want, s"id=$id g=$g hex=$hex")
+    }
+    // the keep-all group survives in full; sampled groups land near rate
+    val by = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(by("zh") == 1000, by.toString)
+    assert(by("en") > 420 && by("en") < 580, by.toString)
+    assert(by("de") > 190 && by("de") < 320, by.toString)
+    // growth stability: sampling a SUPERSET keeps every previously kept id
+    val grown = (1L to 4000L).map(i => (i, Seq("en", "de", "zh")(i.toInt % 3)))
+      .toDF("id", "g")
+    val g2 = kept(grown).map(_._1).toSet
+    assert(aSet.subsetOf(g2), "corpus growth must never evict a kept row")
+  }
+
   test("dedup: dup-window excision cuts exactly the covered spans on a hand corpus") {
     val spark = TestSpark.spark
     import spark.implicits._
