@@ -127,6 +127,25 @@ object Main {
         case "compact" =>
           val id = new SnapshotTable(args(1)).compact(spark)
           println(s"[graft] compacted chain into base snapshot $id")
+        case "mix" =>
+          // training-mix assembly over the CURATED snapshot: per-language
+          // hash sampling + token budget, earliest crawls first; options
+          // fail fast before any scan (the curate/extract contract)
+          if (args.length < 3) { usage(); sys.exit(2) }
+          val mOpts = graft.pipeline.MixOptions.parse(args.drop(3).toSeq) match {
+            case Left(msg) =>
+              System.err.println(s"[graft] invalid options: $msg"); sys.exit(2)
+            case Right(o) => o
+          }
+          graft.pipeline.MixJob.run(spark, args(1), args(2), mOpts) match {
+            case None =>
+              System.err.println(s"[graft] no committed snapshot under ${args(1)}")
+              sys.exit(2)
+            case Some(r) =>
+              println(s"[graft] mix snapshot ${r.mixSnapshotId} " +
+                s"(from curated snapshot ${r.sourceSnapshotId}): " +
+                s"kept=${r.kept} -> ${args(2)}")
+          }
         case "stream" =>
           // drain whatever is currently in the input dir, then exit;
           // re-running resumes from the checkpoint (exactly-once sink)
@@ -193,6 +212,7 @@ object Main {
         |         [min-quality=F] [max-dup-word=F] [max-top-bigram=F] [min-tokens=N]
         |         [near-dedup=J] [decontaminate=<benchParquet>] [holdout=testF,valF]
         |         [excise=K]
+        |       graft.Main mix <curatedDir> <mixDir> [sample=en:0.5,de:0.25,default:0.1] [budget=N]
         |       graft.Main sweep <outputRoot>
         |       graft.Main compact <outputRoot>""".stripMargin)
 }

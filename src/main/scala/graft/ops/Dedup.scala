@@ -509,7 +509,15 @@ object Dedup {
     * token — O(tokens x covered) worst case within a single doc, linear
     * where dup spans are the expected small fraction. Same PRECONDITION:
     * [[exact]]-dedup first, or mirrored whole docs excise each other to
-    * empty text. Returns (id, n_tokens, n_removed, text). */
+    * empty text.
+    *
+    * SINGLE-PASS semantics (honest limit): excision joins the tokens on
+    * either side of a cut span, and that new adjacency can occasionally
+    * form a window shared with another doc that the pre-cut corpus did
+    * not contain — the same residue the reference algorithm leaves and
+    * resolves by iterating. Re-run on the output when a strictly
+    * shared-window-free corpus is required; one pass removes the
+    * overwhelming mass. Returns (id, n_tokens, n_removed, text). */
   def exciseDupWindows(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 20, maxDocs: Int = 1): DataFrame = {
     require(k >= 2, s"window must span at least 2 tokens: $k")

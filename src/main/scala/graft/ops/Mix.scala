@@ -164,7 +164,10 @@ object Mix {
   def hashSample(df: DataFrame, idCol: Column, groupCol: Column,
       fractions: Map[String, Double], default: Double = 1.0,
       salt: String = "sample"): DataFrame = {
-    require(fractions.nonEmpty, "fractions must name at least one group")
+    // empty fractions + default < 1 is uniform hash sampling (legitimate);
+    // empty + default 1.0 would be a silent no-op — fail loudly instead
+    require(fractions.nonEmpty || default < 1.0,
+      "sampling with no group fractions and default 1.0 is a no-op")
     (fractions.values ++ Seq(default)).foreach(f =>
       require(f >= 0.0 && f <= 1.0, s"sampling fraction out of [0,1]: $f"))
     val bucket = substring(md5(concat_ws(":", lit(salt), idCol.cast("string"))), 1, 4)

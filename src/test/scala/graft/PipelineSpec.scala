@@ -328,6 +328,56 @@ class PipelineSpec extends AnyFunSuite {
     assert(CurateOptions.parse(Seq("excise=0")).toOption.get.exciseWindow == 0)
   }
 
+  test("mix options: strict parse (sample entries, default, budget, no-op)") {
+    import graft.pipeline.MixOptions
+    val ok = MixOptions.parse(
+      Seq("sample=en:0.5,de:0.25,default:0.1", "budget=5000")).toOption.get
+    assert(ok == MixOptions(sample = Map("en" -> 0.5, "de" -> 0.25),
+      sampleDefault = 0.1, budget = Some(5000L)))
+    // 'default' is a reserved entry, not a group; bare sample= is uniform
+    assert(MixOptions.parse(Seq("sample=default:0.5")).toOption.get ==
+      MixOptions(sampleDefault = 0.5))
+    assert(MixOptions.parse(Nil).isLeft)                          // no-op mix
+    assert(MixOptions.parse(Seq("budget=0")).isLeft)              // min 1
+    assert(MixOptions.parse(Seq("sample=en:1.5")).isLeft)         // frac > 1
+    assert(MixOptions.parse(Seq("sample=:0.5")).isLeft)           // empty group
+    assert(MixOptions.parse(Seq("sample=en:0.5,en:0.2")).isLeft)  // dup group
+    assert(MixOptions.parse(Seq("budget=5", "budget=9")).isLeft)  // dup key
+    assert(MixOptions.parse(Seq("mixx=1")).isLeft)                // unknown
+  }
+
+  test("mix job: sampling then per-lang budget keeps the earliest-crawl prefix") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.pipeline.{MixJob, MixOptions}
+    def ts(s: Long) = new java.sql.Timestamp(1735689600000L + s * 1000L)
+    // aa: four 5-token docs in reverse url order; bb sampled away at 0.0
+    val curated = Seq(
+      ("https://m.test/a4", ts(4), "aa", "one two three four five"),
+      ("https://m.test/a3", ts(3), "aa", "one two three four five"),
+      ("https://m.test/a2", ts(2), "aa", "one two three four five"),
+      ("https://m.test/a1", ts(1), "aa", "one two three four five"),
+      ("https://m.test/b1", ts(1), "bb", "short text here"))
+      .toDF("url", "warc_ts", "lang", "text")
+    val opts = MixOptions(sample = Map("aa" -> 1.0, "bb" -> 0.0),
+      budget = Some(12L))
+    val out = MixJob.assemble(curated, opts)
+      .select("url", "running_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    // budget 12 over 5-token docs: earliest two crawls fit (5, 10), the
+    // third would run to 15; bb is sampled out entirely
+    assert(out == Seq(
+      ("https://m.test/a1", 5L), ("https://m.test/a2", 10L)), out.toString)
+    // end-to-end through the snapshot tables with lineage
+    val dir = java.nio.file.Files.createTempDirectory("mixjob").toString
+    new graft.table.SnapshotTable(s"$dir/curated").commitReplace(curated)
+    val r = MixJob.run(spark, s"$dir/curated", s"$dir/mix", opts).get
+    assert(r.kept == 2 && r.sourceSnapshotId == 0)
+    val back = new graft.table.SnapshotTable(s"$dir/mix")
+    assert(back.read(spark).get.count() == 2)
+    assert(back.readManifest(r.mixSnapshotId).meta("job") == "mix")
+  }
+
   test("curate: excise cuts cross-doc repeated spans; untouched docs byte-identical") {
     val spark = TestSpark.spark
     import spark.implicits._
