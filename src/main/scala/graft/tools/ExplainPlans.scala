@@ -45,6 +45,18 @@ object ExplainPlans {
     // d20: same window/hot shape as d19 plus ONE doc-key shuffle of
     // (id, dup positions); the token arrays join it on the uniform id key
     p("d20_dup_excise", graft.SparkEntry.queries("d20_dup_excise")(s, d))
+    // d21: must be a single zero-exchange Filter (md5 CASE) over the scan
+    p("d21_hash_sample", graft.SparkEntry.queries("d21_hash_sample")(s, d))
+    // mix assemble: the coarse lang key must NOT get a single global
+    // window — two (lang, day)-spread window exchanges plus the
+    // metadata-sized offset join (broadcast under AQE)
+    p("mix_assemble", graft.pipeline.MixJob.assemble(
+      docs.select(col("doc_id").cast("string").as("url"),
+        // a varying crawl time: constant-folding a literal ts would
+        // degenerate the (lang, day) bucket the audit is checking
+        timestamp_seconds(lit(1735689600L) + col("doc_id") * 3600).as("warc_ts"),
+        col("lang"), col("text")),
+      graft.pipeline.MixOptions(sample = Map("en" -> 0.5), budget = Some(10000L))))
     s.stop()
   }
 }
