@@ -83,6 +83,21 @@ object SparkEntry {
       df.sparkSession.read.parquet(path)
     }
 
+  /** [[exportAndRead]] for inputs consumed by a MULTI-PASS operator (d14's
+    * paragraph dedup reads its input three times: hot-set aggregation,
+    * removal probe, final rebuild). In Verify mode the export already
+    * returns a file-backed frame; with the gate off the raw frame is the
+    * UNMATERIALIZED extraction lineage, and each consumer would replay the
+    * whole pipeline (guide §5: materialize reused expensive intermediates;
+    * the same non-file-backed-input rule Curate.curate applies). The
+    * reliable checkpoint runs inside the timed query — nothing is reused
+    * across bench runs. */
+  private def exportOrMaterialize(df: DataFrame, name: String): DataFrame = {
+    val read = exportAndRead(df, name)
+    if (sys.props.get(ExportProp).contains("1")) read
+    else graft.ops.Dedup.reliableCheckpoint(read)
+  }
+
   /** DuckDB expression for the e02 sign-LSH bucket of a double-list column:
     * the SAME seeded hyperplanes as `Similarity.hyperplanes(8, 64)` — a
     * pure function of the seed, no data — baked in as literals so the
@@ -125,16 +140,27 @@ object SparkEntry {
     }),
     "q02_topk_revenue" -> ((s, d) => {
       val c = t(s, d, "customer"); val o = t(s, d, "orders"); val l = t(s, d, "lineitem")
-      c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(l, o("o_orderkey") === l("l_orderkey"))
-        .groupBy(col("c_custkey"), col("c_name"))
+      // r7: aggregate the FACT side per order BEFORE any join (guide §2.3
+      // "aggregate before you shuffle") — the r6 shape joined raw lineitem
+      // and the static planner picked the 600k-row fact projection as the
+      // BROADCAST BUILD side (a driver-built hash relation of the largest
+      // table). Now the per-order partial sums (~orders-count narrow rows)
+      // are the only lineitem bytes past the scan; both remaining joins
+      // have bounded-small build sides at this SF and degrade to SMJ under
+      // AQE at scale. Decimal sums are exact and associative, so the
+      // two-level aggregation is value-identical to the one-level r6 plan
+      // (oracle-verified).
+      val perOrder = l.groupBy(col("l_orderkey"))
         // exact decimal arithmetic end-to-end: double->decimal casts happen
         // on the RAW columns (far from rounding boundaries), never on
         // computed doubles, so Spark and the oracle agree bit-for-bit
         .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
-          (lit(1) - col("l_discount").cast("decimal(12,2)")))
-          .cast("decimal(18,4)").as("rev_d")) // scale 4 = no rounding at
-          // the cast (Spark HALF_UP vs DuckDB half-even would differ)
+          (lit(1) - col("l_discount").cast("decimal(12,2)"))).as("orev"))
+      val byCust = o.join(perOrder, o("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("orev")).cast("decimal(18,4)").as("rev_d")) // scale 4 =
+        // no rounding at the cast (Spark HALF_UP vs DuckDB half-even differ)
+      c.join(byCust, c("c_custkey") === col("o_custkey"))
         .orderBy(col("rev_d").desc, col("c_custkey")) // exact-decimal ordering
         .limit(10)
         .select(col("c_custkey"), col("c_name"),
@@ -322,7 +348,7 @@ object SparkEntry {
       // DuckDB independently re-derives hot paragraphs, removal AND the
       // reassembled per-doc text — full-string compared.
       val out = ExtractPipeline.run(pages(s, d), ExtractPipeline.Config(partitions = 32))
-      val texts = exportAndRead(out.toDF()
+      val texts = exportOrMaterialize(out.toDF()
         .where(col("status") === "finished")
         .select(col("url"), col("text").cast("string").as("text")), "d14text")
       Dedup.stripRepeatedParagraphs(texts, idCol = "url", textCol = "text",

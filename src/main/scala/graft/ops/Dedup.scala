@@ -388,8 +388,9 @@ object Dedup {
     * is a promise, and on a precondition-violating corpus (mirrored
     * articles, below) the hot set grows with the duplicated fraction and a
     * forced broadcast OOMs where AQE's size-based choice degrades to a
-    * slow-but-correct shuffle join. Reassembly shuffles each doc's kept
-    * (pos, para) rows once on the uniform doc key.
+    * slow-but-correct shuffle join. Reassembly is a NARROW map since r7:
+    * only the REMOVED positions per doc (boilerplate-occurrence-sized)
+    * aggregate and join back — text never crosses an exchange at all.
     *
     * PRECONDITION at scale (same as [[minhashPairs]]): run [[exact]]
     * document dedup FIRST. On a corpus where whole texts repeat across
@@ -405,6 +406,48 @@ object Dedup {
   def stripRepeatedParagraphs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxDocs: Int = 2): DataFrame = {
     require(maxDocs >= 1, s"maxDocs must be >= 1: $maxDocs")
+    // (id, pos, 128-bit para key) — the para STRING is dropped inside the
+    // projection, so nothing string-shaped ever reaches an exchange (the
+    // r6 shape shuffled every kept (pos, para) row through the reassembly
+    // aggregate — the one payload-bearing exchange this removes)
+    val keyed = docs.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "para")))
+      .select(Seq(col("id"), col("pos")) ++ exactKeyCols(col("para")): _*)
+    val hot = keyed.where(col("_len") > 0)
+      .groupBy(col("_h1"), col("_h2"), col("_len"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .where(col("nd") > maxDocs)
+      .select("_h1", "_h2", "_len")
+    // no broadcast() hint: AQE picks BHJ at the intended (boilerplate-
+    // sized) hot set and falls back to a shuffle join when the
+    // exact-dedup-first precondition was violated — never an OOM
+    // REMOVED positions per doc (docs with none are absent): at real dup
+    // rates this frame is boilerplate-occurrence-sized, far below the
+    // kept set the r6 shape aggregated, and AQE broadcasts it into the
+    // final join — the reassembly then happens as a narrow map over the
+    // doc's own split array, no doc-key shuffle of text at all
+    val removed = keyed.join(hot, Seq("_h1", "_h2", "_len"), "left_semi")
+      .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("rm"))
+    docs.select(col(idCol).as("id"), split(col(textCol), "\n").as("paras"))
+      .join(removed, Seq("id"), "left") // a doc of ONLY hot paras -> empty
+      .select(col("id").as(idCol),
+        size(col("paras")).as("n_paras"),
+        when(col("paras").isNull, lit(0L))
+          .otherwise((size(col("paras")) - coalesce(size(col("rm")), lit(0)))
+            .cast("long")).as("n_kept"),
+        coalesce(
+          when(col("rm").isNull, concat_ws("\n", col("paras")))
+            .otherwise(concat_ws("\n", filter(col("paras"),
+              (p, i) => !array_contains(col("rm"), i)))),
+          lit("")).as("text"))
+  }
+
+  /** Reference reassembly-shuffle formulation of [[stripRepeatedParagraphs]]
+    * (the r6 shape: anti-join kept (pos, para) rows, collect_list + sort
+    * per doc). Kept for cross-checking the positions-only path in tests. */
+  private[graft] def stripRepeatedParagraphsRef(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDocs: Int = 2): DataFrame = {
     val paras = docs.select(col(idCol).as("id"),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "para")))
     val keyed = paras.select(
@@ -414,9 +457,6 @@ object Dedup {
       .agg(countDistinct(col("id")).as("nd"))
       .where(col("nd") > maxDocs)
       .select("_h1", "_h2", "_len")
-    // no broadcast() hint: AQE picks BHJ at the intended (boilerplate-
-    // sized) hot set and falls back to a shuffle join when the
-    // exact-dedup-first precondition was violated — never an OOM
     val kept = keyed.join(hot, Seq("_h1", "_h2", "_len"), "left_anti")
     val rebuilt = kept.groupBy(col("id"))
       .agg(count(lit(1)).as("n_kept"),
@@ -425,7 +465,7 @@ object Dedup {
             s => s.getField("para"))).as("text"))
     docs.select(col(idCol).as("id"),
         size(split(col(textCol), "\n")).as("n_paras"))
-      .join(rebuilt, Seq("id"), "left") // a doc of ONLY hot paras -> empty
+      .join(rebuilt, Seq("id"), "left")
       .select(col("id").as(idCol), col("n_paras"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text"), lit("")).as("text"))
@@ -462,13 +502,47 @@ object Dedup {
     val base = docs
       .select(col(idCol).as("id"), TextStats.tokens(col(textCol)).as("tk"))
       .withColumn("nw", greatest(size(col("tk")) - (k - 1), lit(0)))
+    // ONE native pass per doc builds every window's 128-bit key directly
+    // from per-token hash streams (see WindowHashes) — no window STRING is
+    // ever built, where the previous transform+slice+concat_ws+xxhash64
+    // HOF chain was interpreted per window (ArrayTransform is
+    // CodegenFallback) and dominated d19/d20 (r7 bench: 2.0 s -> 0.4 s)
+    val win = base.where(col("nw") >= 1)
+      .select(col("id"), explode(
+        org.apache.spark.sql.graftexpr.GraftExpr.window_hashes(col("tk"), k)).as("ph"))
+      .select(col("id"), col("ph.h1").as("_h1"), col("ph.h2").as("_h2"))
+    val hot = hotWindowKeys(win, maxDocs)
+    val dup = win.join(hot, Seq("_h1", "_h2"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
+    base.select(col("id"), col("nw"))
+      .join(dup, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("nw").cast("long").as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") /
+          nullif(col("nw").cast("long"), lit(0L)), 4).as("dup_frac"))
+  }
+
+  /** Reference string-keyed formulation of [[dupWindowStats]] (the r6
+    * shape): windows materialized as strings via HOFs and keyed by
+    * [[exactKeyCols]]. Kept for cross-checking the native WindowHashes
+    * path in tests — the two must agree row-for-row on any corpus. */
+  private[graft] def dupWindowStatsStrKeyed(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 20,
+      maxDocs: Int = 1): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("id"), TextStats.tokens(col(textCol)).as("tk"))
+      .withColumn("nw", greatest(size(col("tk")) - (k - 1), lit(0)))
     // sequence(1, nw) only when nw >= 1: Spark's sequence RUNS BACKWARDS
     // for stop < start (sequence(1, 0) = [1, 0]), it does not return []
     val win = base.where(col("nw") >= 1)
       .select(col("id"), explode(transform(sequence(lit(1), col("nw")),
         i => concat_ws(" ", slice(col("tk"), i, lit(k))))).as("w"))
       .select(col("id") +: exactKeyCols(col("w")): _*)
-    val hot = hotWindowKeys(win, maxDocs)
+    val hot = win.groupBy(col("_h1"), col("_h2"), col("_len"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .where(col("nd") > maxDocs)
+      .select("_h1", "_h2", "_len")
     val dup = win.join(hot, Seq("_h1", "_h2", "_len"), "left_semi")
       .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
     base.select(col("id"), col("nw"))
@@ -482,12 +556,13 @@ object Dedup {
 
   /** Window hash keys seen in more than `maxDocs` distinct docs — the
     * shared hot-set core of [[dupWindowStats]] and [[exciseDupWindows]];
-    * partial-aggregates map-side, stays broadcast-sized at real dup rates. */
+    * partial-aggregates map-side, stays broadcast-sized at real dup rates.
+    * The key is the native WindowHashes 128-bit (h1, h2) pair. */
   private def hotWindowKeys(win: DataFrame, maxDocs: Int): DataFrame =
-    win.groupBy(col("_h1"), col("_h2"), col("_len"))
+    win.groupBy(col("_h1"), col("_h2"))
       .agg(countDistinct(col("id")).as("nd"))
       .where(col("nd") > maxDocs)
-      .select("_h1", "_h2", "_len")
+      .select("_h1", "_h2")
 
   /** Duplicated-span EXCISION — the removal half of exact-substring dedup
     * ([[dupWindowStats]] is the detection half; Lee et al. ACL 2022 cut
@@ -526,16 +601,50 @@ object Dedup {
       .select(col(idCol).as("id"), TextStats.tokens(col(textCol)).as("tk"))
       .withColumn("nw", greatest(size(col("tk")) - (k - 1), lit(0)))
     // window POSITION rides along this time (excision needs it); the
-    // string itself is still reduced to the 128-bit key pre-shuffle
+    // native WindowHashes pass emits (pos, h1, h2) directly — no window
+    // strings, no interpreted HOFs (see dupWindowStats)
+    val win = base.where(col("nw") >= 1)
+      .select(col("id"), explode(
+        org.apache.spark.sql.graftexpr.GraftExpr.window_hashes(col("tk"), k)).as("ph"))
+      .select(col("id"), col("ph.pos").as("pos"),
+        col("ph.h1").as("_h1"), col("ph.h2").as("_h2"))
+    val hot = hotWindowKeys(win, maxDocs)
+    val dupPos = win.join(hot, Seq("_h1", "_h2"), "left_semi")
+      .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("ps"))
+    // dup window at pos p covers tokens [p, p+k-1]; p <= n-k+1 so the
+    // cover never runs past the token array. The excision itself is the
+    // native linear merge over (sorted ps, tokens) — O(tokens + |ps|)
+    // per doc, replacing the per-token array_contains probe whose
+    // O(tokens x covered) worst case the r6 ADVICE flagged.
+    val ex = org.apache.spark.sql.graftexpr.GraftExpr.excise_tokens(
+      col("tk"), coalesce(col("ps"), array().cast("array<int>")), k)
+    base.join(dupPos, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        size(col("tk")).cast("long").as("n_tokens"),
+        coalesce(ex.getField("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(ex.getField("text"), lit("")).as("text"))
+  }
+
+  /** Reference covered-set formulation of [[exciseDupWindows]] (the r6
+    * shape): string-keyed windows, explicit distinct covered-position
+    * array, per-token array_contains filter. Kept for cross-checking the
+    * native WindowHashes + ExciseTokens path in tests. */
+  private[graft] def exciseDupWindowsRef(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 20,
+      maxDocs: Int = 1): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("id"), TextStats.tokens(col(textCol)).as("tk"))
+      .withColumn("nw", greatest(size(col("tk")) - (k - 1), lit(0)))
     val win = base.where(col("nw") >= 1)
       .select(col("id"), explode(transform(sequence(lit(1), col("nw")),
         i => struct(i.as("pos"), concat_ws(" ", slice(col("tk"), i, lit(k))).as("w")))).as("pw"))
       .select(Seq(col("id"), col("pw.pos").as("pos")) ++ exactKeyCols(col("pw.w")): _*)
-    val hot = hotWindowKeys(win, maxDocs)
+    val hot = win.groupBy(col("_h1"), col("_h2"), col("_len"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .where(col("nd") > maxDocs)
+      .select("_h1", "_h2", "_len")
     val dupPos = win.join(hot, Seq("_h1", "_h2", "_len"), "left_semi")
       .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("ps"))
-    // dup window at pos p covers tokens [p, p+k-1]; p <= n-k+1 so the
-    // cover never runs past the token array — no clamping needed
     base.join(dupPos, Seq("id"), "left")
       .withColumn("cov", array_distinct(flatten(transform(col("ps"),
         p => sequence(p, p + lit(k - 1))))))

@@ -86,8 +86,17 @@ object Similarity {
   }
 
   /** Sign-LSH bucket id: bit j = sign(v · h_j). (Charikar 2002 SimHash for
-    * real vectors / Indyk-Motwani LSH.) */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    * real vectors / Indyk-Motwani LSH.) Native one-fused-loop expression
+    * since r7 — the HOF formulation ([[lshBucketHof]], kept as the test
+    * twin) evaluated bits x dim interpreted lambda calls per row; the
+    * native loop is bit-identical (sequential double accumulation in array
+    * order, the same null-on-length-mismatch degradation). */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graftexpr.GraftExpr.sign_lsh_bucket(
+      vec, planes.map(_.toSeq).toSeq)
+
+  /** Reference HOF formulation of [[lshBucket]] (tests only). */
+  private[graft] def lshBucketHof(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.indices.map { j =>
       val h = lit(planes(j))
       when(dot(vec, transform(h, x => x.cast("double"))) > 0,

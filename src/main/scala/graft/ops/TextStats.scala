@@ -441,8 +441,20 @@ object TextStats {
 
   /** The raw k-smallest-distinct rolling-gram hashes behind
     * [[fingerprint]], as a per-doc array column — the exploded export of
-    * these values is what d08's oracle re-assembles in DuckDB. */
+    * these values is what d08's oracle re-assembles in DuckDB. Native
+    * one-pass GramMinK since r7 (bounded TreeSet selection; the HOF twin
+    * below evaluated one interpreted lambda + substring allocation per
+    * gram — O(chars) per row of pure interpretation overhead). */
   def fingerprintValues(docs: DataFrame, gram: Int = 8, k: Int = 8): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "[^a-z0-9]", "")
+    docs.select(
+      col("doc_id"),
+      org.apache.spark.sql.graftexpr.GraftExpr.gram_min_k(norm, gram, k).as("fp"))
+  }
+
+  /** Reference HOF formulation of [[fingerprintValues]] (tests only). */
+  private[graft] def fingerprintValuesHof(docs: DataFrame, gram: Int = 8,
+      k: Int = 8): DataFrame = {
     val norm = regexp_replace(lower(col("text")), "[^a-z0-9]", "")
     val grams = transform(
       sequence(lit(1), greatest(length(norm) - (gram - 1), lit(1))),

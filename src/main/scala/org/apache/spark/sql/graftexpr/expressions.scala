@@ -68,6 +68,26 @@ object GraftExpr {
   def pii_redact(c: Column): Column =
     ExpressionUtils.column(PiiRedact(ExpressionUtils.expression(c)))
 
+  /** Per-window 128-bit hash keys of a token-array column:
+    * array&lt;struct(pos, h1, h2)&gt; for every k-token sliding window. */
+  def window_hashes(c: Column, k: Int): Column =
+    ExpressionUtils.column(WindowHashes(ExpressionUtils.expression(c), k))
+
+  /** Linear-merge span excision over a token array given the sorted
+    * 1-based dup-window start positions: struct(n_removed, text). */
+  def excise_tokens(tk: Column, ps: Column, k: Int): Column =
+    ExpressionUtils.column(ExciseTokens(
+      ExpressionUtils.expression(tk), ExpressionUtils.expression(ps), k))
+
+  /** Sign-LSH bucket of a double-array column over fixed hyperplanes. */
+  def sign_lsh_bucket(c: Column, planes: Seq[Seq[Double]]): Column =
+    ExpressionUtils.column(SignLshBucket(ExpressionUtils.expression(c), planes))
+
+  /** The k smallest distinct xxhash64 values over the `gram`-char rolling
+    * grams of an (ASCII-normalized) string column, ascending. */
+  def gram_min_k(c: Column, gram: Int, k: Int): Column =
+    ExpressionUtils.column(GramMinK(ExpressionUtils.expression(c), gram, k))
+
   /** Register SQL-callable names on a session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -723,4 +743,247 @@ object PiiScan {
 
   def redact(u: UTF8String): UTF8String =
     UTF8String.fromString(scanAll(u.toString)._2)
+}
+
+/** 128-bit hash keys of every k-token sliding window of a token array, in
+  * ONE pass: array&lt;struct(pos, h1, h2)&gt; with pos the 1-BASED window start
+  * (matching `sequence(1, n-k+1)` in the declarative twin). Two independent
+  * 64-bit keys per window, derived from two per-token xxhash64 streams
+  * (seeds 42 and 0x9e3779b9) folded with Spark's multi-arg xxhash64
+  * combiner (`XXH64.hashLong(tokenHash, running)`), so two windows collide
+  * only under a simultaneous 128-bit collision — the same discrimination
+  * argument as [[graft.ops.Dedup.exactKeyCols]].
+  *
+  * Replaces the `explode(transform(sequence(...), i => concat_ws(" ",
+  * slice(tk, i, k))))` + 2x xxhash64-of-the-window-STRING formulation: the
+  * HOF pipeline is interpreted per window (ArrayTransform is
+  * CodegenFallback) and builds an O(k·token_len) string per window only to
+  * hash it — the dominant cost of d19/d20 at every scale. Here each token
+  * is hashed ONCE per stream and each window folds k longs. Window keys
+  * are internal (the oracle groups window STRINGS), but equal windows map
+  * to equal keys by construction: tokens from `split(trim(text), " +")`
+  * contain no spaces, so the joined window string is injective in the
+  * token sequence. Cross-checked against the string-keyed HOF twin in
+  * OpsSpec. */
+case class WindowHashes(child: Expression, k: Int) extends UnaryExpression
+    with ExpectsInputTypes {
+  require(k >= 2, s"window must span at least 2 tokens: $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "window_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    evalArr(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("windowHashes", this,
+      "org.apache.spark.sql.graftexpr.WindowHashes")
+    defineCodeGen(ctx, ev, c => s"$ref.evalArr($c)")
+  }
+
+  def evalArr(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val nw = n - k + 1
+    if (nw < 1) {
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    }
+    val ha = new Array[Long](n)
+    val hb = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      // tokens from split() are never null; a null element degrades to the
+      // seed itself (deterministic), matching xxhash64's null-skip rule
+      if (arr.isNullAt(i)) { ha(i) = 42L; hb(i) = 0x9e3779b9L }
+      else {
+        val s = arr.getUTF8String(i)
+        ha(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        hb(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0x9e3779b9L)
+      }
+      i += 1
+    }
+    val out = new Array[Any](nw)
+    var p = 0
+    while (p < nw) {
+      var h1 = 42L
+      var h2 = 0x9e3779b9L
+      var j = p
+      val end = p + k
+      while (j < end) {
+        h1 = XXH64.hashLong(ha(j), h1)
+        h2 = XXH64.hashLong(hb(j), h2)
+        j += 1
+      }
+      out(p) = org.apache.spark.sql.catalyst.InternalRow(p + 1, h1, h2)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+}
+
+/** Span excision over a token array in ONE linear merge: given the sorted
+  * (non-decreasing) 1-based start positions `ps` of this doc's duplicated
+  * k-token windows, returns struct(n_removed, text) where n_removed is the
+  * size of the union of covered positions [p, p+k-1] and text is the
+  * uncovered tokens joined with single spaces.
+  *
+  * Replaces `array_distinct(flatten(transform(ps, p => sequence(p, p+k-1))))`
+  * + a per-token `array_contains` filter — O(n_tokens x n_covered) per row
+  * (the r6 ADVICE finding: a heavily-duplicated 100k-token doc did ~10^10
+  * comparisons in one task). The merge walks tokens and positions once:
+  * O(n_tokens + |ps|), worst case included. Output is value-identical to
+  * the covered-set formulation (cross-checked in OpsSpec; the d20 oracle
+  * re-derives the whole excision over window strings). */
+case class ExciseTokens(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(k >= 2, s"window must span at least 2 tokens: $k")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(IntegerType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_removed", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+  override def prettyName: String = "excise_tokens"
+
+  override def nullSafeEval(tokens: Any, positions: Any): Any =
+    evalRow(tokens.asInstanceOf[ArrayData], positions.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("exciseTokens", this,
+      "org.apache.spark.sql.graftexpr.ExciseTokens")
+    defineCodeGen(ctx, ev, (t, p) => s"$ref.evalRow($t, $p)")
+  }
+
+  def evalRow(tokens: ArrayData, positions: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = tokens.numElements()
+    val np = positions.numElements()
+    val kept = new java.util.ArrayList[UTF8String](n)
+    var removed = 0L
+    var coverEnd = 0L // last covered 1-based position so far
+    var pi = 0
+    var j = 1 // 1-based token position
+    while (j <= n) {
+      while (pi < np && positions.getInt(pi) <= j) {
+        val end = positions.getInt(pi).toLong + (k - 1)
+        if (end > coverEnd) coverEnd = end
+        pi += 1
+      }
+      if (j <= coverEnd) removed += 1
+      else kept.add(if (tokens.isNullAt(j - 1)) null else tokens.getUTF8String(j - 1))
+      j += 1
+    }
+    val text = UTF8String.concatWs(UTF8String.fromString(" "),
+      kept.toArray(new Array[UTF8String](kept.size)): _*)
+    org.apache.spark.sql.catalyst.InternalRow(removed, text)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ExciseTokens =
+    copy(left = l, right = r)
+}
+
+/** Sign-LSH bucket (Charikar 2002 over real vectors) of a double-array
+  * column against fixed hyperplanes, in one fused loop: bit j = 1 iff
+  * dot(v, plane_j) > 0. Replicates the HOF formulation
+  * `aggregate(zip_with(v, plane, _*_), 0.0, _+_)` bit-for-bit: sequential
+  * double accumulation in array order, and a vector whose length differs
+  * from the plane dimension yields bucket contribution 0 for every plane
+  * (zip_with pads with null -> null dot -> CASE otherwise 0), exactly as
+  * the declarative twin and the e02 oracle's baked-in literal planes
+  * compute. Replaces bits x dim interpreted HOF evaluations per row. */
+case class SignLshBucket(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(planes.nonEmpty && planes.size <= 64, "1..64 hyperplanes pack into a Long")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_lsh_bucket"
+
+  @transient private lazy val ps: Array[Array[Double]] = planes.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    evalArr(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signLshBucket", this,
+      "org.apache.spark.sql.graftexpr.SignLshBucket")
+    defineCodeGen(ctx, ev, c => s"$ref.evalArr($c)")
+  }
+
+  def evalArr(arr: ArrayData): Long = {
+    val v = arr.toDoubleArray()
+    var bucket = 0L
+    var j = 0
+    while (j < ps.length) {
+      val p = ps(j)
+      if (v.length == p.length) { // length mismatch -> null dot -> bit 0
+        var s = 0.0
+        var i = 0
+        while (i < p.length) { s += v(i) * p(i); i += 1 }
+        if (s > 0) bucket |= (1L << j)
+      }
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignLshBucket =
+    copy(child = newChild)
+}
+
+/** The `k` smallest DISTINCT xxhash64 (seed 42) values over the
+  * `gram`-char rolling grams of a string, ascending — the winnowing-sketch
+  * core of d08 in one pass. Replicates the declarative twin
+  * `slice(array_sort(array_distinct(transform(sequence(1, greatest(len-gram+1,
+  * 1)), i => xxhash64(substr(s, i, gram))))), 1, k)` value-for-value: a
+  * string shorter than `gram` (including empty) contributes its single
+  * whole-string gram. Input is expected ASCII-normalized (the d08 chain
+  * lowercases and strips to [a-z0-9] first) so char offsets equal byte
+  * offsets; the general UTF8String.substring is used regardless, so
+  * multi-byte input would still match the twin. Replaces one interpreted
+  * HOF evaluation + substring allocation per gram (O(chars) per row). */
+case class GramMinK(child: Expression, gram: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(gram > 0 && k > 0, s"gram/k must be positive: $gram/$k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_min_k"
+
+  override def nullSafeEval(input: Any): Any =
+    evalStr(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramMinK", this,
+      "org.apache.spark.sql.graftexpr.GramMinK")
+    defineCodeGen(ctx, ev, c => s"$ref.evalStr($c)")
+  }
+
+  def evalStr(u: UTF8String): ArrayData = {
+    val nChars = u.numChars()
+    val best = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    val count = math.max(nChars - gram + 1, 1)
+    while (i < count) {
+      val g = u.substringSQL(i + 1, gram) // 1-based, clamps at the end
+      val h = XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes(), 42L)
+      best.add(h)
+      if (best.size > k) best.pollLast()
+      i += 1
+    }
+    val out = new Array[Long](best.size)
+    val it = best.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramMinK =
+    copy(child = newChild)
 }

@@ -867,4 +867,81 @@ class OpsSpec extends AnyFunSuite {
     assert(out.count(_._2 == 0) > out.size / 2,
       "unrelated docs must not be flagged")
   }
+
+  // ------------------------------------------------------------------ r7
+  // optimization-round rewrites: every native/plan rewrite must agree
+  // row-for-row with its r6 reference formulation on the driver corpus.
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("r7: native dup-window stats == string-keyed reference (d19)") {
+    for (k <- Seq(5, 10, 20)) {
+      val a = sortedRows(Dedup.dupWindowStats(docs, k = k, maxDocs = 1))
+      val b = sortedRows(Dedup.dupWindowStatsStrKeyed(docs, k = k, maxDocs = 1))
+      assert(a == b, s"k=$k")
+    }
+  }
+
+  test("r7: native excision == covered-set reference (d20), incl. overlaps") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val a = sortedRows(Dedup.exciseDupWindows(docs, k = 10, maxDocs = 1))
+    val b = sortedRows(Dedup.exciseDupWindowsRef(docs, k = 10, maxDocs = 1))
+    assert(a == b)
+    // adversarial shapes the corpus may not contain: overlapping dup runs,
+    // a fully-covered doc, back-to-back (adjacent, non-overlapping) spans
+    val crafted = Seq(
+      (1L, "a b c d e f a b c d e f"), // self-overlap via repetition
+      (2L, "a b c d e f"),             // fully covered twin
+      (3L, "p q r s t u v w x y a b c d e f z"),
+      (4L, "solo words only here")).toDF("doc_id", "text")
+    for (k <- Seq(2, 3, 5)) {
+      val x = sortedRows(Dedup.exciseDupWindows(crafted, k = k, maxDocs = 1))
+      val y = sortedRows(Dedup.exciseDupWindowsRef(crafted, k = k, maxDocs = 1))
+      assert(x == y, s"k=$k")
+    }
+  }
+
+  test("r7: positions-only passage dedup == reassembly reference (d14)") {
+    val a = sortedRows(Dedup.stripRepeatedParagraphs(docs, maxDocs = 2))
+    val b = sortedRows(Dedup.stripRepeatedParagraphsRef(docs, maxDocs = 2))
+    assert(a == b)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // empty-string text and a doc made only of hot paras
+    val hot = "shared para"
+    val crafted = Seq((1L, s"x\n$hot\ny"), (2L, s"$hot\nz"), (3L, hot),
+      (4L, ""), (5L, "a\n\nb")).toDF("doc_id", "text")
+    assert(sortedRows(Dedup.stripRepeatedParagraphs(crafted, maxDocs = 2)) ==
+      sortedRows(Dedup.stripRepeatedParagraphsRef(crafted, maxDocs = 2)))
+  }
+
+  test("r7: native sign-LSH bucket == HOF bucket (e02)") {
+    val planes = Similarity.hyperplanes(8, 64)
+    val a = sortedRows(emb.select(col("vec_id"),
+      Similarity.lshBucket(
+        transform(col("embedding"), x => x.cast("double")), planes)))
+    val b = sortedRows(emb.select(col("vec_id"),
+      Similarity.lshBucketHof(
+        transform(col("embedding"), x => x.cast("double")), planes)))
+    assert(a == b)
+  }
+
+  test("r7: native gram sketch == HOF sketch (d08), incl. short strings") {
+    val a = sortedRows(TextStats.fingerprintValues(docs)
+      .select(col("doc_id"), concat_ws(",", col("fp").cast("array<string>"))))
+    val b = sortedRows(TextStats.fingerprintValuesHof(docs)
+      .select(col("doc_id"), concat_ws(",", col("fp").cast("array<string>"))))
+    assert(a == b)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val crafted = Seq((1L, ""), (2L, "abc"), (3L, "exactly8!"),
+      (4L, "A LONGER normalized-input 123 with repeats repeats repeats"))
+      .toDF("doc_id", "text")
+    assert(sortedRows(TextStats.fingerprintValues(crafted)
+        .select(col("doc_id"), concat_ws(",", col("fp").cast("array<string>")))) ==
+      sortedRows(TextStats.fingerprintValuesHof(crafted)
+        .select(col("doc_id"), concat_ws(",", col("fp").cast("array<string>")))))
+  }
 }

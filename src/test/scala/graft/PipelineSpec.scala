@@ -234,6 +234,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("curate: unmaterialized expensive input is computed once, not per branch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(1735689600000L + s * 1000L)
+    val n = 40
+    val base = (1 to n).map(i =>
+      (s"https://g$i.dom.test/$i", ts(i), "finished", "text/plain", 20L,
+        s"unique body $i\nshared para\nmore unique $i words here"))
+      .toDF("url", "warc_ts", "status", "mimeType", "textBytes", "text")
+    // a typed map playing the role of a live extraction pipeline: the
+    // accumulator counts how many times each row is COMPUTED. The r6
+    // contract ("persist before calling curate") was scaladoc-only — this
+    // pins the r7 guard: a non-file-backed input is checkpointed once,
+    // so the multi-branch chain (dedup winners, paragraph hot set, cap
+    // rank, tapped + raw twins) computes each row exactly once.
+    val acc = spark.sparkContext.longAccumulator("curate-input-scans")
+    val counted = base
+      .as[(String, java.sql.Timestamp, String, String, Long, String)]
+      .map { r => acc.add(1); r }
+      .toDF("url", "warc_ts", "status", "mimeType", "textBytes", "text")
+    assert(!graft.pipeline.Curate.isCheapRescan(counted))
+    assert(graft.pipeline.Curate.isCheapRescan(base))
+    val out = graft.pipeline.Curate.curate(counted,
+      graft.pipeline.CurateOptions(cap = 5, paraMaxDocs = 2,
+        minTokens = Some(2)))
+    val kept = out.collect()
+    assert(kept.nonEmpty)
+    assert(acc.value == n,
+      s"input must be computed exactly once (got ${acc.value} for $n rows)")
+  }
+
   test("curate: repetition/quality filters and decontamination drop the right docs") {
     val spark = TestSpark.spark
     import spark.implicits._
