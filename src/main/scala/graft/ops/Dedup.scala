@@ -164,6 +164,17 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
+    // Verification sides re-shingle the corpus once per join side. An r7
+    // candidate-restricted variant (semi-join docs against the candidate
+    // ids BEFORE the shingle projection) was built and MEASURED SLOWER
+    // (0.93 s -> 1.28 s at sf0.1): deriving the id set references `cand`
+    // a second time, and the streamed side of the band self-join is not
+    // behind an exchange — so the signature pipeline (shingle + 32-hash
+    // minhash over every doc, the dominant cost) re-evaluated wholesale,
+    // costing more than the two saved native-shingle passes. Rejected on
+    // the measurement (the d11 rule: the bench vetoes nice-on-paper
+    // shapes); revisit only with a cheap way to pin `cand` (it is
+    // pair-set-sized) that keeps this a pure plan builder.
     val shA = sh.select(col("id").as("a"), col("sh").as("sha"))
     val shB = sh.select(col("id").as("b"), col("sh").as("shb"))
     cand.join(shA, "a").join(shB, "b")
