@@ -77,18 +77,22 @@ object Boilerplate {
     var blockTag = "p"
     var blockBoiler = false
 
-    def appendNormalized(t: String): Unit = {
-      var i = 0
-      val n = t.length
+    def appendNormalized(t: String, from: Int, n: Int): Unit = {
+      var i = from
       while (i < n) {
         val c = t.charAt(i)
-        if (Character.isWhitespace(c)) pendingSpace = true
+        if (Character.isWhitespace(c)) { pendingSpace = true; i += 1 }
         else {
+          // bulk-append the maximal non-whitespace run (r7: one ranged
+          // append instead of per-char appends — same output, the walk
+          // was the top post-entity-fix profile entry)
+          var j = i + 1
+          while (j < n && !Character.isWhitespace(t.charAt(j))) j += 1
           if (pendingSpace && sb.length() > 0) sb.append(' ')
-          sb.append(c)
+          sb.append(t, i, j)
           pendingSpace = false
+          i = j
         }
-        i += 1
       }
     }
 
@@ -104,11 +108,11 @@ object Boilerplate {
     }
 
     def walk(n: Node, anchorDepth: Int, boilerDepth: Int): Unit = n match {
-      case TextNode(t) =>
-        if (t.nonEmpty) {
+      case TextNode(src, from, until) =>
+        if (until > from) {
           pendingSpace = true // node boundary acts as a separator
-          appendNormalized(t)
-          if (anchorDepth > 0) linkWords += countWords(t)
+          appendNormalized(src, from, until)
+          if (anchorDepth > 0) linkWords += countWords(src, from, until)
         }
       case e: Elem =>
         val tag = e.tag
@@ -139,11 +143,13 @@ object Boilerplate {
     out.result()
   }
 
-  private def countWords(s: String): Int = {
+  private def countWords(s: String): Int = countWords(s, 0, s.length)
+
+  private def countWords(s: String, from: Int, until: Int): Int = {
     var n = 0
     var inWord = false
-    var i = 0
-    while (i < s.length) {
+    var i = from
+    while (i < until) {
       val ws = Character.isWhitespace(s.charAt(i)) || s.charAt(i) == ' '
       if (!ws && !inWord) { n += 1; inWord = true }
       else if (ws) inWord = false

@@ -2,9 +2,19 @@ package graft.extract
 
 import scala.collection.mutable.ArrayBuffer
 
-/** Lightweight DOM node. */
+/** Lightweight DOM node. Text nodes are SLICES of the backing string
+  * (r7: entity-free text — the overwhelming majority, including skipped
+  * script/style bodies — used to be substring-copied into every node; the
+  * slice removes one full copy+allocation pass over all document text).
+  * `s` is either the parsed document or a decoded-entity string. */
 sealed trait Node
-final case class TextNode(text: String) extends Node
+final case class TextNode(s: String, from: Int, until: Int) extends Node {
+  /** Materialized text (tests/debug; the hot path reads the slice). */
+  def text: String = s.substring(from, until)
+}
+object TextNode {
+  def apply(t: String): TextNode = TextNode(t, 0, t.length)
+}
 final class Elem(val tag: String, val attrs: List[(String, String)]) extends Node {
   val children = new ArrayBuffer[Node](4)
   def attr(name: String): Option[String] =
@@ -78,6 +88,13 @@ object HtmlParser {
     def addText(t: String): Unit =
       if (t.nonEmpty && nodes < MaxNodes) {
         top.children += TextNode(t)
+        nodes += 1
+      }
+
+    /** Zero-copy text node over s[from, until). */
+    def addSlice(from: Int, until: Int): Unit =
+      if (until > from && nodes < MaxNodes) {
+        top.children += TextNode(s, from, until)
         nodes += 1
       }
 
@@ -183,7 +200,7 @@ object HtmlParser {
             // consume raw text until the matching close tag (case-insensitive)
             val closeIdx = indexOfIgnoreCase(s, "</" + name, i)
             val contentEnd = if (closeIdx < 0) len else closeIdx
-            addText(s.substring(i, contentEnd))
+            addSlice(i, contentEnd)
             if (closeIdx < 0) i = len
             else {
               val gt = s.indexOf('>', closeIdx)
@@ -202,12 +219,14 @@ object HtmlParser {
       } else {
         val next = s.indexOf('<', i)
         val end = if (next < 0) len else next
-        addText(Entities.decode(s, i, end))
+        // entity-free text (the common case) becomes a zero-copy slice
+        val dec = Entities.decodeOrNull(s, i, end)
+        if (dec == null) addSlice(i, end) else addText(dec)
         i = end
       }
     }
     // leftover past the node cap is appended raw so no bytes are lost
-    if (i < len) root.children += TextNode(s.substring(i))
+    if (i < len) root.children += TextNode(s, i, len)
     root
   }
 
@@ -247,13 +266,35 @@ object Entities {
     "middot" -> "·", "bull" -> "•", "times" -> "×",
     "shy" -> "­")
 
+  /** '&' search bounded to [from, until) — `String.indexOf` has no upper
+    * bound and scanned to the END OF THE DOCUMENT for every text node,
+    * making entity scanning O(doc_len) per node (quadratic per document;
+    * profiled at 61% of all extraction CPU in r7). Result is identical:
+    * the unbounded scan's hit was discarded whenever it landed >= until. */
+  @inline private def indexOfAmp(s: String, from: Int, until: Int): Int = {
+    var i = from
+    while (i < until) {
+      if (s.charAt(i) == '&') return i
+      i += 1
+    }
+    -1
+  }
+
   /** Decode entities in s[from, until). */
   def decode(s: String, from: Int, until: Int): String = {
-    var i = s.indexOf('&', from)
-    if (i < 0 || i >= until) return s.substring(from, until)
+    val d = decodeOrNull(s, from, until)
+    if (d == null) s.substring(from, until) else d
+  }
+
+  /** [[decode]] that returns null when the range contains no '&' — the
+    * caller keeps the raw range as a zero-copy slice instead of paying a
+    * substring for (the overwhelmingly common) entity-free text. */
+  def decodeOrNull(s: String, from: Int, until: Int): String = {
+    var i = indexOfAmp(s, from, until)
+    if (i < 0) return null
     val sb = new java.lang.StringBuilder(until - from)
     var pos = from
-    while (i >= 0 && i < until) {
+    while (i >= 0) {
       sb.append(s, pos, i)
       val semi = {
         // entity names are short; bound the scan
@@ -285,7 +326,7 @@ object Entities {
         if (rep != null) { sb.append(rep); pos = semi + 1 }
         else { sb.append('&'); pos = i + 1 }
       } else { sb.append('&'); pos = i + 1 }
-      i = s.indexOf('&', pos)
+      i = indexOfAmp(s, pos, until)
     }
     if (pos < until) sb.append(s, pos, until)
     sb.toString
