@@ -16,8 +16,12 @@ import graft.corpus.Rng
   */
 object Similarity {
 
-  /** Embedding column cast float->double for stable arithmetic. */
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** Embedding column cast float->double for stable arithmetic. Native
+    * array cast (r7) — the element-wise `transform(c, _.cast("double"))`
+    * HOF it replaces is CodegenFallback (interpreted per element, 64
+    * lambda evaluations per row in every e-query); the Cast expression
+    * performs the identical float->double widening inside codegen. */
+  private def asDouble(c: Column): Column = c.cast("array<double>")
 
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
