@@ -126,8 +126,16 @@ object Dedup {
         element_at(sig, b * rows + r + 1))): _*)): _*)
   }
 
-  /** Exact n-gram Jaccard similarity between two shingle-set columns. */
+  /** Exact n-gram Jaccard similarity between two shingle-set columns.
+    * Native one-hash-set-pass expression since r7 — the declarative twin
+    * ([[jaccardHof]], kept for cross-checks) materialized TWO intermediate
+    * arrays per compared pair, the entire cost of the quadratic d06
+    * oracle; values are identical under set semantics (see JaccardSim). */
   def jaccard(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftexpr.GraftExpr.jaccard_sim(a, b)
+
+  /** Reference built-ins formulation of [[jaccard]] (tests only). */
+  private[graft] def jaccardHof(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b)))
 

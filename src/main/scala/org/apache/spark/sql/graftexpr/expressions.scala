@@ -83,6 +83,12 @@ object GraftExpr {
   def sign_lsh_bucket(c: Column, planes: Seq[Seq[Double]]): Column =
     ExpressionUtils.column(SignLshBucket(ExpressionUtils.expression(c), planes))
 
+  /** Exact Jaccard similarity of two array&lt;string&gt; columns (set
+    * semantics), one hash-set pass. */
+  def jaccard_sim(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaccardSim(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** The k smallest distinct xxhash64 values over the `gram`-char rolling
     * grams of an (ASCII-normalized) string column, ascending. */
   def gram_min_k(c: Column, gram: Int, k: Int): Column =
@@ -935,6 +941,79 @@ case class SignLshBucket(child: Expression, planes: Seq[Seq[Double]])
 
   override protected def withNewChildInternal(newChild: Expression): SignLshBucket =
     copy(child = newChild)
+}
+
+/** Exact Jaccard similarity |A∩B| / |A∪B| of two string arrays under SET
+  * semantics, in one hash-set pass — value-identical to the declarative
+  * `size(array_intersect(a, b)) / size(array_distinct(concat(a, b)))`
+  * for every non-null pair of arrays (distinctness of the inputs is NOT
+  * assumed: both counts are over the element sets, exactly like
+  * array_intersect / array_distinct; null ELEMENTS count as one set
+  * member on each side, as the built-ins do). Two deliberate divergences,
+  * both UNREACHABLE from the shingle pipeline (WordShingles returns a
+  * non-empty, non-null array for every non-null text): an empty union
+  * yields NULL where the ANSI-default Divide THREW DIVIDE_BY_ZERO, and a
+  * top-level NULL array yields NULL where the built-in chain degenerated
+  * to size(null) = -1 arithmetic — graceful-in, graceful-out on inputs
+  * the declarative form mishandled.
+  * Replaces two materialized intermediate arrays per compared
+  * pair — the entire cost of the quadratic d06 oracle (11.9 s -> see
+  * OPTIMIZATION_r07.md) and of d05's verification step. */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardSim.of(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pn = ctx.freshName("jac")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""Object $pn = org.apache.spark.sql.graftexpr.JaccardSim.of($a, $b);
+         |if ($pn == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) $pn).doubleValue(); }
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+    copy(left = l, right = r)
+}
+
+object JaccardSim {
+  /** null result encodes the 0/0 (empty-union) case. */
+  def of(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val setA = new java.util.HashSet[UTF8String]()
+    var aNull = false
+    var i = 0
+    val na = a.numElements()
+    while (i < na) {
+      if (a.isNullAt(i)) aNull = true else setA.add(a.getUTF8String(i))
+      i += 1
+    }
+    var inter = 0
+    val setB = new java.util.HashSet[UTF8String]()
+    var bNull = false
+    i = 0
+    val nb = b.numElements()
+    while (i < nb) {
+      if (b.isNullAt(i)) {
+        if (!bNull) { bNull = true; if (aNull) inter += 1 }
+      } else if (setB.add(b.getUTF8String(i)) && setA.contains(b.getUTF8String(i))) {
+        inter += 1
+      }
+      i += 1
+    }
+    val sa = setA.size + (if (aNull) 1 else 0)
+    val sb = setB.size + (if (bNull) 1 else 0)
+    val union = sa + sb - inter
+    if (union == 0) null
+    else java.lang.Double.valueOf(inter.toDouble / union.toDouble)
+  }
 }
 
 /** The `k` smallest DISTINCT xxhash64 (seed 42) values over the

@@ -917,6 +917,39 @@ class OpsSpec extends AnyFunSuite {
       sortedRows(Dedup.stripRepeatedParagraphsRef(crafted, maxDocs = 2)))
   }
 
+  test("r7: native jaccard == built-ins jaccard (d05/d06), incl. edge arrays") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // full quadratic d06 over the corpus, both formulations
+    val sh = docs.select(col("doc_id").as("id"),
+      Dedup.shingles(col("text"), 3).as("sh"))
+    def pairs(j: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
+      sh.as("x").join(sh.as("y"), col("x.id") < col("y.id"))
+        .select(col("x.id"), col("y.id"),
+          round(j(col("x.sh"), col("y.sh")), 4).as("jac"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(pairs(Dedup.jaccard) == pairs(Dedup.jaccardHof))
+    // crafted: duplicate elements, null elements, disjoint and identical
+    // sets — both formulations must agree wherever the built-ins are
+    // defined (ANSI-default Divide THROWS on an empty union, so that case
+    // is native-only below)
+    val crafted = Seq(
+      (Seq("a", "b", "b", "c"), Seq("b", "c", "c", "d")),
+      (Seq("a", null, "b"), Seq(null, "b", "b")),
+      (Seq("x"), Seq("y")),
+      (Seq("s", "t"), Seq("t", "s"))).toDF("a", "b")
+    val nat = crafted.select(Dedup.jaccard(col("a"), col("b"))).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    val hof = crafted.select(Dedup.jaccardHof(col("a"), col("b"))).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(nat == hof, s"$nat vs $hof")
+    assert(nat == Seq(Some(0.5), Some(2.0 / 3), Some(0.0), Some(1.0)), nat.toString)
+    // empty union: the built-ins threw DIVIDE_BY_ZERO here (unreachable
+    // from shingles — never empty); the native expression is graceful
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+    assert(empty.select(Dedup.jaccard(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
   test("r7: native sign-LSH bucket == HOF bucket (e02)") {
     val planes = Similarity.hyperplanes(8, 64)
     val a = sortedRows(emb.select(col("vec_id"),
