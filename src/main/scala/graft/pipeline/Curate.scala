@@ -302,11 +302,17 @@ object Curate {
     require(opts.cap > 0, s"cap must be positive: ${opts.cap}")
     def tap(df: DataFrame, stage: String): DataFrame =
       metrics.map(_.attach(df, stage)).getOrElse(df)
-    val input = materializedInput(data)
-    val finishedRaw = input.where(col("status") === "finished")
-      .select(col("url"), col("warc_ts"), col("mimeType"), col("textBytes"),
-        col("text").cast("string").as("text"),
-        Urls.registeredDomain(col("url")).as("domain"))
+    // the guard wraps the PROJECTED finished frame, not the raw input:
+    // only the six consumed columns of status='finished' rows are ever
+    // materialized (a full-width checkpoint would also write spans/
+    // attachments/failed rows nobody reads — review finding). Filter and
+    // Project are in the cheap-rescan allowlist, so classification of the
+    // underlying input is unchanged.
+    val finishedRaw = materializedInput(
+      data.where(col("status") === "finished")
+        .select(col("url"), col("warc_ts"), col("mimeType"), col("textBytes"),
+          col("text").cast("string").as("text"),
+          Urls.registeredDomain(col("url")).as("domain")))
     val finished = tap(finishedRaw, "finished")
     // exact dedup, payloads never shuffled: winners on 24-byte key rows
     val winners = finishedRaw

@@ -84,6 +84,11 @@ object BenchExtra {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     try {
+      // an unknown query name must be LOUD, not silently dropped: a typo'd
+      // probe would otherwise record an "after" set missing the query
+      // under measurement (review finding)
+      wanted.filterNot(SparkEntryAccess.get(_).isDefined).foreach(n =>
+        System.err.println(s"[bench-extra] UNKNOWN query name: $n (skipped)"))
       for (name <- wanted; fn <- SparkEntryAccess.get(name)) {
         s.sparkContext.setJobDescription(s"bench-extra: $name")
         def once(): Double = {
@@ -96,10 +101,13 @@ object BenchExtra {
             System.err.println(s"[bench-extra] $name FAILED: ${t.getMessage}")
             None
         }
+        // timed runs guarded like graft.Bench's: a transient flake records
+        // -1.0 for THIS query instead of aborting the whole probe session
         val sec = warm match {
           case None => -1.0
           case Some(w) =>
-            if (w >= 10.0) once() else math.min(once(), once())
+            try { if (w >= 10.0) once() else math.min(once(), once()) }
+            catch { case _: Throwable => -1.0 }
         }
         results(name) = sec
         // plan dump AFTER timing (plan construction may do eager work)

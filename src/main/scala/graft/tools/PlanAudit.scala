@@ -20,6 +20,13 @@ object PlanAudit {
       val pages = graft.corpus.CorpusWriter.pagesDs(spark, 300L, partitions = 4)
       val extracted = graft.pipeline.ExtractPipeline
         .run(pages, graft.pipeline.ExtractPipeline.Config(partitions = 4)).toDF()
+      // NOTE (r7): curate's input guard reliably checkpoints this live
+      // (non-file-backed) extraction frame at call time, so this "print
+      // the plan" step now RUNS extraction once and the dumped plan shows
+      // a checkpoint scan leaf where the extraction subtree used to
+      // appear — which matches the production batch job (committed
+      // snapshot) more closely than the r6 audit did. The extraction
+      // pipeline's own plan is audited separately via ReuseCheck (§4).
       println("==== curate (full chain incl. filters + decontamination) ====")
       import spark.implicits._
       graft.pipeline.Curate.curate(extracted,

@@ -802,8 +802,12 @@ case class WindowHashes(child: Expression, k: Int) extends UnaryExpression
     val hb = new Array[Long](n)
     var i = 0
     while (i < n) {
-      // tokens from split() are never null; a null element degrades to the
-      // seed itself (deterministic), matching xxhash64's null-skip rule
+      // tokens from split() are never null; a null element deterministically
+      // folds the seed constants. NOTE this is NOT the same key the
+      // string-keyed twin derives (concat_ws DROPS nulls, xxhash64 skips
+      // them) — acceptable only because the path is unreachable from
+      // TextStats.tokens(); re-derive the parity argument before feeding
+      // any nullable token source here.
       if (arr.isNullAt(i)) { ha(i) = 42L; hb(i) = 0x9e3779b9L }
       else {
         val s = arr.getUTF8String(i)
@@ -1045,13 +1049,33 @@ case class GramMinK(child: Expression, gram: Int, k: Int)
   }
 
   def evalStr(u: UTF8String): ArrayData = {
-    val nChars = u.numChars()
+    // one pass to map char index -> byte offset, then each gram hashes its
+    // byte RANGE in place — substringSQL per position would re-walk the
+    // string from byte 0 every call, the same hidden-quadratic class as
+    // the r7 entity-scan fix (review finding). Works for any UTF-8 input,
+    // not just the ASCII-normalized d08 chain; byte ranges equal the
+    // substring's bytes, so hashes are unchanged.
+    val nBytes = u.numBytes()
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    // char-start byte offsets (charOff(i) = byte offset of char i;
+    // charOff(nChars) = nBytes)
+    var nChars = 0
+    var b = 0
+    val charOff = new Array[Int](nBytes + 1)
+    while (b < nBytes) {
+      charOff(nChars) = b
+      b += UTF8String.numBytesForFirstByte(u.getByte(b))
+      nChars += 1
+    }
+    charOff(nChars) = nBytes
     val best = new java.util.TreeSet[java.lang.Long]()
-    var i = 0
     val count = math.max(nChars - gram + 1, 1)
+    var i = 0
     while (i < count) {
-      val g = u.substringSQL(i + 1, gram) // 1-based, clamps at the end
-      val h = XXH64.hashUnsafeBytes(g.getBaseObject, g.getBaseOffset, g.numBytes(), 42L)
+      val start = charOff(i)
+      val end = charOff(math.min(i + gram, nChars)) // clamps at the end
+      val h = XXH64.hashUnsafeBytes(base, off + start, end - start, 42L)
       best.add(h)
       if (best.size > k) best.pollLast()
       i += 1
